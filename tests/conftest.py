@@ -1,0 +1,49 @@
+"""Test config: run on a virtual 8-device CPU mesh.
+
+Real TPU hardware here is single-chip; multi-chip sharding is validated by
+forcing 8 virtual CPU devices (the driver's dryrun does the same).
+Must run before jax initializes, hence module scope in conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This image's sitecustomize imports jax at interpreter start (before this
+# conftest), so the env vars above may be read too late; override via config.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ref_clip():
+    """A deterministic music-like 10 s test clip at 44.1 kHz (synthetic, so
+    tests don't depend on the reference's asset file)."""
+    sr = 44100
+    t = np.arange(10 * sr, dtype=np.float64) / sr
+    rng = np.random.RandomState(0)
+    x = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 440 * t + 0.3)
+        + 0.15 * np.sin(2 * np.pi * 1760 * t * (1 + 0.001 * np.sin(2 * np.pi * 2 * t)))
+        + 0.02 * rng.randn(len(t))
+    )
+    x = (x / np.max(np.abs(x))).astype(np.float32)
+    return sr, x
+
+
+@pytest.fixture(scope="session")
+def short_clip(ref_clip):
+    """0.05 s mid-clip segment, the reference's Part-0 working set."""
+    sr, x = ref_clip
+    n = int(0.05 * sr)
+    start = len(x) // 2
+    return sr, x[start : start + n]

@@ -1,0 +1,67 @@
+"""WAV codec oracles vs scipy.io.wavfile + the reference's normalization chain."""
+
+import numpy as np
+
+from audio_inpainting_tpu.io import (
+    read_wav,
+    write_wav,
+    load_mono_normalized,
+    save_wav_int16,
+)
+
+
+def test_int16_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    data = (rng.randn(4410) * 10000).astype(np.int16)
+    p = str(tmp_path / "m.wav")
+    write_wav(p, 44100, data)
+    sr, back = read_wav(p)
+    assert sr == 44100
+    np.testing.assert_array_equal(back, data)
+
+
+def test_stereo_matches_scipy(tmp_path):
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(2)
+    data = (rng.randn(2000, 2) * 20000).astype(np.int16)
+    p1, p2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(p1, 22050, data)
+    wavfile.write(p2, 22050, data)
+    sr1, d1 = read_wav(p2)          # our reader on scipy's file
+    sr2, d2 = wavfile.read(p1)      # scipy's reader on our file
+    assert sr1 == sr2 == 22050
+    np.testing.assert_array_equal(d1, data)
+    np.testing.assert_array_equal(d2, data)
+
+
+def test_float32_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+    data = rng.randn(1000).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, 16000, data)
+    sr, back = read_wav(p)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, data)
+
+
+def test_load_mono_normalized_matches_reference_convention(tmp_path):
+    # reference: data.mean(axis=1); data / max|data| (main2_AR.py:41-43)
+    rng = np.random.RandomState(4)
+    stereo = (rng.randn(5000, 2) * 12000).astype(np.int16)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, 44100, stereo)
+    sr, x = load_mono_normalized(p)
+    expected = stereo.mean(axis=1)
+    expected = expected / np.max(np.abs(expected))
+    np.testing.assert_allclose(x, expected.astype(np.float32), rtol=1e-6)
+    assert np.max(np.abs(x)) <= 1.0 + 1e-6
+
+
+def test_save_wav_int16_quantization(tmp_path):
+    # reference: clip to [-1,1], x32767, int16 (main1_gp.py:21-24)
+    x = np.array([-2.0, -1.0, 0.0, 0.5, 1.0, 2.0], dtype=np.float32)
+    p = save_wav_int16(x, 8000, str(tmp_path / "q.wav"))
+    _, back = read_wav(p)
+    expected = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    np.testing.assert_array_equal(back, expected)
