@@ -1,0 +1,10 @@
+from .linear import linear_interp_masked, linear_fill_gap
+from .ar import ARConfig, ar_restore_gap, ar_restore_gaps
+
+__all__ = [
+    "linear_interp_masked",
+    "linear_fill_gap",
+    "ARConfig",
+    "ar_restore_gap",
+    "ar_restore_gaps",
+]

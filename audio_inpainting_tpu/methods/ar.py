@@ -1,0 +1,214 @@
+"""Bidirectional autoregressive inpainting, batched TPU-native.
+
+Reference behavior being matched (see SURVEY.md §2):
+
+- ``main2_AR.py`` — order-30 AR via Ridge(alpha=0.1) on sliding windows,
+  recursive one-step extrapolation from both gap edges, linear crossfade.
+- ``main3_AR_text*.py`` — Ridge(alpha=0.5) + per-step Gaussian "texture"
+  noise with sigma = std of training residuals; order 100 / 5000-sample
+  contexts for the 2 s gap (main3_AR_text_gap.py), order 30 / 1000-sample
+  contexts for multi-gap (main3_AR_text_mask.py); zero-prediction fallback
+  when a side has < 10 training rows; one-sided crossfade fallbacks.
+
+TPU-native design (not a translation):
+
+- The reference's per-gap, per-direction Python loop with one
+  ``model.predict`` call per output sample (88,200 sklearn calls for the 2 s
+  gap) becomes ONE ``lax.scan`` whose state is a (B, order) matrix over the
+  batch B = [all gaps] x [fwd, bwd]. Fit is batched normal equations
+  (Ridge with intercept, masked rows) solved with Cholesky on the MXU.
+- Texture noise is pre-drawn from a threaded PRNG key (the reference is
+  unseeded np.random — SURVEY.md §4.3 — so per-sample values can't and
+  needn't match; the distribution does).
+- Known reference quirk preserved: recursion starts from the *second-to-last*
+  training window (``context_X[-1]`` = samples [len-order-1, len-1)), so the
+  first prediction targets the last observed sample, not the first gap
+  sample (main2_AR.py:65, main3_AR_text_gap.py:62).
+
+Multi-gap mode restores every gap in parallel; ``passes>1`` re-runs the
+batch with the previous pass's output as context, which supersedes the
+reference's left-to-right progressive-context scheme
+(main3_AR_text_mask.py:71-103) symmetrically.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ARConfig:
+    order: int = 100
+    alpha: float = 0.5
+    texture: bool = True
+    context_len: int = 5000
+    passes: int = 1
+    min_rows: int = 10
+
+
+def _hankel_indices(context_len: int, order: int) -> np.ndarray:
+    rows = context_len - order
+    return np.arange(rows)[:, None] + np.arange(order + 1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fit_ridge_batched(ctxs: jax.Array, pad_lens: jax.Array, cfg: ARConfig):
+    """Batched Ridge-with-intercept fit on sliding windows.
+
+    ctxs: (B, C) contexts with time flowing toward the gap, front-padded.
+    pad_lens: (B,) number of invalid leading samples per context.
+    Returns (w (B, order), b (B,), noise_std (B,), valid (B,)).
+    """
+    B, C = ctxs.shape
+    order = cfg.order
+    idx = jnp.asarray(_hankel_indices(C, order))
+    windows = ctxs[:, idx]               # (B, R, order+1)
+    X = windows[:, :, :order]            # (B, R, order)
+    y = windows[:, :, order]             # (B, R)
+    R = X.shape[1]
+    rows = jnp.arange(R)
+    m = (rows[None, :] >= pad_lens[:, None]).astype(jnp.float32)  # (B, R)
+
+    n = jnp.maximum(jnp.sum(m, axis=1), 1.0)                      # (B,)
+    mean_x = jnp.einsum("br,bro->bo", m, X) / n[:, None]
+    mean_y = jnp.sum(m * y, axis=1) / n
+    Xc = (X - mean_x[:, None, :]) * m[:, :, None]
+    yc = (y - mean_y[:, None]) * m
+
+    A = jnp.einsum("bro,brp->bop", Xc, Xc,
+                   precision=jax.lax.Precision.HIGH)
+    A = A + cfg.alpha * jnp.eye(order, dtype=A.dtype)[None]
+    rhs = jnp.einsum("bro,br->bo", Xc, yc, precision=jax.lax.Precision.HIGH)
+    w = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(A, lower=True), True), rhs[..., None]
+    )[..., 0]
+    b = mean_y - jnp.einsum("bo,bo->b", mean_x, w)
+
+    pred = jnp.einsum("bro,bo->br", X, w) + b[:, None]
+    resid = (y - pred) * m
+    # np.std over the valid rows (population std, ddof=0 — reference
+    # main3_AR_text_gap.py:58-60 computes np.std of all residuals)
+    mean_r = jnp.sum(resid, axis=1) / n
+    noise_std = jnp.sqrt(jnp.maximum(
+        jnp.sum(m * (resid - mean_r[:, None] * m) ** 2, axis=1) / n, 0.0))
+
+    valid = jnp.sum(m, axis=1) >= cfg.min_rows
+    return w, b, noise_std, valid
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "texture"))
+def _extrapolate(ctxs: jax.Array, w: jax.Array, b: jax.Array,
+                 noise_std: jax.Array, valid: jax.Array, key: jax.Array,
+                 steps: int, texture: bool) -> jax.Array:
+    """Recursive AR extrapolation as one scan over the whole batch.
+
+    Returns (B, steps) predictions (zeros for invalid models).
+    """
+    B, C = ctxs.shape
+    order = w.shape[1]
+    # Reference quirk: start from context_X[-1] = samples [C-order-1, C-1)
+    state0 = ctxs[:, C - order - 1 : C - 1]
+    eps = (jax.random.normal(key, (steps, B)) if texture
+           else jnp.zeros((steps, B)))
+    gain = jnp.where(valid, 1.0, 0.0)
+
+    def step(state, e):
+        pred = jnp.einsum("bo,bo->b", state, w) + b
+        pred = (pred + noise_std * e) * gain
+        state = jnp.concatenate([state[:, 1:], pred[:, None]], axis=1)
+        return state, pred
+
+    _, preds = jax.lax.scan(step, state0, eps)
+    return preds.T  # (B, steps)
+
+
+@functools.partial(jax.jit, static_argnames=("context_len",))
+def _extract_contexts(signal: jax.Array, starts: jax.Array, ends: jax.Array,
+                      context_len: int):
+    """Gather (2G, C) contexts: rows [0,G) forward (left side, natural order),
+    rows [G,2G) backward (right side, reversed). Front-padded with zeros
+    where the clip boundary truncates the context; pad lengths returned."""
+    n = signal.shape[0]
+    C = context_len
+    padded = jnp.pad(signal, (C, C))
+    offs = jnp.arange(C)
+    # fwd: original [start-C, start)  -> padded [start, start+C)
+    fwd = padded[starts[:, None] + offs[None, :]]
+    fwd_pad = jnp.maximum(0, C - starts)
+    # bwd: original [end, end+C) reversed -> padded [end+2C-1 .. end+C]
+    bwd = padded[ends[:, None] + (2 * C - 1) - offs[None, :]]
+    bwd_pad = jnp.maximum(0, ends + C - n)
+    return (jnp.concatenate([fwd, bwd], axis=0),
+            jnp.concatenate([fwd_pad, bwd_pad], axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _blend_and_paste(signal: jax.Array, starts: jax.Array, lens: jax.Array,
+                     fwd: jax.Array, bwd: jax.Array, fwd_valid: jax.Array,
+                     bwd_valid: jax.Array, max_len: int) -> jax.Array:
+    """Crossfade fwd/bwd predictions per gap and scatter into the signal.
+
+    weights = linspace(1, 0, L) (all-ones / all-zeros when one side is
+    invalid — reference main3_AR_text_gap.py:113-118).
+    """
+    n = signal.shape[0]
+    t = jnp.arange(max_len)[None, :]                     # (1, S)
+    L = lens[:, None]                                    # (G, 1)
+    in_gap = t < L
+    # reversed-in-gap backward prediction: bwd_rev[g, t] = bwd[g, L-1-t]
+    rev_idx = jnp.clip(L - 1 - t, 0, max_len - 1)
+    bwd_rev = jnp.take_along_axis(bwd, rev_idx, axis=1)
+
+    wts = jnp.where(L > 1, 1.0 - t / jnp.maximum(L - 1, 1), 1.0)
+    wts = jnp.where(fwd_valid[:, None], wts, 0.0)
+    wts = jnp.where(bwd_valid[:, None], wts, 1.0)
+    fill = fwd * wts + bwd_rev * (1.0 - wts)
+
+    pos = jnp.where(in_gap, starts[:, None] + t, n)       # OOB -> dropped
+    return signal.at[pos.reshape(-1)].set(fill.reshape(-1), mode="drop")
+
+
+def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
+                  cfg: ARConfig, key: jax.Array) -> jax.Array:
+    starts_a = jnp.asarray(starts)
+    ends_a = jnp.asarray(ends)
+    lens = ends_a - starts_a
+    max_len = int(np.max(ends - starts))
+    ctxs, pads = _extract_contexts(signal, starts_a, ends_a, cfg.context_len)
+    w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
+    preds = _extrapolate(ctxs, w, b, std, valid, key, max_len, cfg.texture)
+    G = len(starts)
+    return _blend_and_paste(signal, starts_a, lens, preds[:G], preds[G:],
+                            valid[:G], valid[G:], max_len)
+
+
+def ar_restore_gaps(signal, gaps: list[tuple[int, int]], cfg: ARConfig,
+                    key: jax.Array | int = 0) -> jax.Array:
+    """Restore all gaps (list of (start, end)) bidirectionally, in parallel.
+
+    ``cfg.passes > 1`` repeats the whole batch using the previous output as
+    training context (symmetric generalization of the reference's
+    progressive left-to-right context reuse, main3_AR_text_mask.py:74-101).
+    """
+    if not gaps:
+        return jnp.asarray(signal, jnp.float32)
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    signal = jnp.asarray(signal, jnp.float32)
+    starts = np.array([s for s, _ in gaps], dtype=np.int32)
+    ends = np.array([e for _, e in gaps], dtype=np.int32)
+    out = signal
+    for p in range(cfg.passes):
+        out = _restore_once(out, starts, ends, cfg, jax.random.fold_in(key, p))
+    return out
+
+
+def ar_restore_gap(signal, gap: tuple[int, int], cfg: ARConfig,
+                   key: jax.Array | int = 0) -> jax.Array:
+    """Single-gap restoration (Part 0 / Part 2)."""
+    return ar_restore_gaps(signal, [gap], cfg, key)

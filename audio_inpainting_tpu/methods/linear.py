@@ -1,0 +1,62 @@
+"""Linear-interpolation restoration (the reference's baseline method).
+
+Two variants, matching the reference exactly:
+
+- ``linear_interp_masked``: fill every masked sample by interpolating between
+  the nearest valid neighbors — np.interp semantics including end clamping
+  (reference generate_part1_data.py:51-58, linear_interp_part1.py:65-75).
+- ``linear_fill_gap``: single gap filled with a straight line between the
+  samples just outside the gap — np.linspace endpoint semantics
+  (reference generate_part2_data.py:48-54).
+
+TPU-native formulation: no searchsorted / data-dependent loops. The nearest
+valid neighbor on each side is found with two cumulative max/min sweeps
+(O(n), fuses to a handful of VPU passes under jit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def linear_interp_masked(signal: jax.Array, mask: jax.Array) -> jax.Array:
+    """Fill ``~mask`` samples by linear interpolation between valid neighbors.
+
+    mask: True = valid sample. Matches np.interp(x_all[~mask], x_all[mask],
+    signal[mask]) incl. clamping to the first/last valid value at the edges.
+    """
+    signal = jnp.asarray(signal, jnp.float32)
+    mask = jnp.asarray(mask, bool)
+    n = signal.shape[0]
+    idx = jnp.arange(n)
+
+    # index of the most recent valid sample at-or-before i (-1 if none)
+    prev_idx = jax.lax.cummax(jnp.where(mask, idx, -1))
+    # index of the next valid sample at-or-after i (n if none)
+    next_idx = jax.lax.cummin(jnp.where(mask, idx, n)[::-1])[::-1]
+
+    has_prev = prev_idx >= 0
+    has_next = next_idx <= n - 1
+    p = jnp.clip(prev_idx, 0, n - 1)
+    q = jnp.clip(next_idx, 0, n - 1)
+    y0 = signal[p]
+    y1 = signal[q]
+    denom = jnp.maximum(q - p, 1).astype(jnp.float32)
+    t = (idx - p).astype(jnp.float32) / denom
+    interp = y0 * (1.0 - t) + y1 * t
+    # np.interp clamps outside the valid range
+    interp = jnp.where(has_prev & ~has_next, y0, interp)
+    interp = jnp.where(~has_prev & has_next, y1, interp)
+    return jnp.where(mask, signal, interp)
+
+
+def linear_fill_gap(signal: jax.Array, gap_start: int, gap_end: int) -> jax.Array:
+    """Fill [gap_start, gap_end) with np.linspace(signal[gap_start-1],
+    signal[gap_end], gap_len) — reference generate_part2_data.py:48-54."""
+    signal = jnp.asarray(signal, jnp.float32)
+    y0 = signal[gap_start - 1]
+    y1 = signal[jnp.minimum(gap_end, signal.shape[0] - 1)]
+    fill = jnp.linspace(y0, y1, gap_end - gap_start)
+    return signal.at[gap_start:gap_end].set(fill)

@@ -1,0 +1,222 @@
+"""Self-supervised per-clip neural inpainting: U-Net and GAN training loops.
+
+Reference behavior (SURVEY.md §2/§3):
+
+- U-Net, random mask (main5_UNet_mask.py:158-193): Adam lr=1e-3, MSE on the
+  masked region ONLY, 400 epochs over the single clip's normalized magnitude;
+  composite output ``input + pred*(1-mask)``, iSTFT with original phase.
+- U-Net, deterministic gap (main5_UNet_gap.py:133-168): loss over the WHOLE
+  spectrogram (overfit demonstration), 600 epochs, same composite.
+- GAN (main_gan_gap.py:117-158): D with BCE on [real | composited fake
+  (detached)], G loss = 0.99*L1(masked) + 0.01*adv(BCE on composited),
+  Adam lr=2e-4 betas=(0.5, 0.999), 1500 epochs; min-max [-1,1] normalized
+  magnitudes; trains against the ground-truth clip's spectrogram.
+
+TPU-native design: each epoch is a jitted train step; the whole budget runs
+as ``lax.scan`` over epochs inside ONE device program (donated carry), so
+400-1500 epochs execute without host round-trips. Padding to multiples of 4
+keeps all conv shapes static (see models/unet.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.unet import SimpleUNet, GeneratorUNet, Discriminator
+
+
+@dataclass(frozen=True)
+class UNetTrainConfig:
+    epochs: int = 400
+    lr: float = 1e-3
+    masked_loss: bool = True   # True: MSE on masked region only (mask variant)
+    scan_chunk: int = 100      # epochs per device program (axon watchdog)
+
+
+@dataclass(frozen=True)
+class GANTrainConfig:
+    epochs: int = 1500
+    lr: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    l1_weight: float = 0.99
+    adv_weight: float = 0.01
+    scan_chunk: int = 100
+
+
+def _nhwc(x2d: jax.Array) -> jax.Array:
+    return x2d[None, :, :, None]
+
+
+def _pad4(x2d: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
+    f, t = x2d.shape
+    pf, pt = (-f) % 4, (-t) % 4
+    return jnp.pad(x2d, ((0, pf), (0, pt))), (f, t)
+
+
+# ---------------------------------------------------------------- U-Net ----
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
+                   donate_argnums=(0, 1))
+def _unet_train_chunk(params, opt_state, inp, tgt, mask, cfg: UNetTrainConfig,
+                      n_epochs: int):
+    model = SimpleUNet()
+    tx = optax.adam(cfg.lr)
+    inv = 1.0 - mask
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, inp)
+        if cfg.masked_loss:
+            return jnp.mean((out * inv - tgt * inv) ** 2)
+        return jnp.mean((out - tgt) ** 2)
+
+    def epoch(carry, _):
+        p, st = carry
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        upd, st = tx.update(g, st, p)
+        return (optax.apply_updates(p, upd), st), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        epoch, (params, opt_state), None, length=n_epochs)
+    return params, opt_state, losses
+
+
+def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
+                       key: jax.Array | int = 0):
+    """Train SimpleUNet on one clip's normalized magnitude and composite.
+
+    mag_norm, mask: (F, T); mask 1 = kept. Returns (final_mag_norm (F, T),
+    prediction (F, T), loss history).
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    mag_norm = jnp.asarray(mag_norm, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    tgt2d, (f0, t0) = _pad4(mag_norm)
+    msk2d, _ = _pad4(mask)
+    inp = _nhwc(tgt2d * msk2d)
+    tgt = _nhwc(tgt2d)
+    msk = _nhwc(msk2d)
+
+    model = SimpleUNet()
+    params = model.init(key, inp)["params"]
+    opt_state = optax.adam(cfg.lr).init(params)
+
+    losses = []
+    done = 0
+    while done < cfg.epochs:
+        n = min(cfg.scan_chunk, cfg.epochs - done)
+        params, opt_state, ls = _unet_train_chunk(
+            params, opt_state, inp, tgt, msk, cfg, n)
+        losses.append(ls)
+        done += n
+
+    pred = SimpleUNet().apply({"params": params}, inp)[0, :, :, 0]
+    input_mag = tgt2d * msk2d
+    final = input_mag + pred * (1.0 - msk2d)       # composite (reference :182)
+    return final[:f0, :t0], pred[:f0, :t0], jnp.concatenate(losses)
+
+
+# ------------------------------------------------------------------ GAN ----
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
+                   donate_argnums=(0,))
+def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
+                     n_epochs: int):
+    g_model = GeneratorUNet()
+    d_model = Discriminator()
+    tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
+    inv = 1.0 - mask
+    bce = lambda p, t: -jnp.mean(t * jnp.log(p + 1e-8) + (1 - t) * jnp.log(1 - p + 1e-8))
+
+    def epoch(carry, _):
+        gp, gbs, gst, dp, dbs, dst = carry
+
+        # --- D step (fake composited, detached generator) ---
+        fake, g_updates = g_model.apply(
+            {"params": gp, "batch_stats": gbs}, inp, True,
+            mutable=["batch_stats"])
+        completed = inp * mask + fake * inv
+
+        def d_loss_fn(dpar, dbs_in):
+            out_real, upd1 = d_model.apply(
+                {"params": dpar, "batch_stats": dbs_in}, real, True,
+                mutable=["batch_stats"])
+            out_fake, upd2 = d_model.apply(
+                {"params": dpar, "batch_stats": upd1["batch_stats"]},
+                jax.lax.stop_gradient(completed), True, mutable=["batch_stats"])
+            loss = 0.5 * (bce(out_real, jnp.ones_like(out_real))
+                          + bce(out_fake, jnp.zeros_like(out_fake)))
+            return loss, upd2["batch_stats"]
+
+        (d_loss, dbs_new), d_grad = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(dp, dbs)
+        d_upd, dst = tx.update(d_grad, dst, dp)
+        dp = optax.apply_updates(dp, d_upd)
+
+        # --- G step (through updated D params, reference order) ---
+        def g_loss_fn(gpar, gbs_in):
+            fake_g, upd = g_model.apply(
+                {"params": gpar, "batch_stats": gbs_in}, inp, True,
+                mutable=["batch_stats"])
+            completed_g = inp * mask + fake_g * inv
+            out_fake_g = d_model.apply(
+                {"params": dp, "batch_stats": dbs_new}, completed_g, False)
+            adv = bce(out_fake_g, jnp.ones_like(out_fake_g))
+            rec = jnp.mean(jnp.abs(fake_g * inv - real * inv))
+            return cfg.l1_weight * rec + cfg.adv_weight * adv, upd["batch_stats"]
+
+        (g_loss, gbs_new), g_grad = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gp, g_updates["batch_stats"])
+        g_upd, gst = tx.update(g_grad, gst, gp)
+        gp = optax.apply_updates(gp, g_upd)
+
+        return (gp, gbs_new, gst, dp, dbs_new, dst), (d_loss, g_loss)
+
+    return jax.lax.scan(epoch, train_state, None, length=n_epochs)
+
+
+def gan_train_restore(input_norm, real_norm, mask,
+                      cfg: GANTrainConfig = GANTrainConfig(),
+                      key: jax.Array | int = 0):
+    """Train the GAN pair on one clip and return the composited magnitude.
+
+    input_norm, real_norm in [-1, 1]; mask 1 = kept (all (F, T)).
+    Returns (final_norm (F, T), (d_losses, g_losses)).
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    inp2d, (f0, t0) = _pad4(jnp.asarray(input_norm, jnp.float32))
+    real2d, _ = _pad4(jnp.asarray(real_norm, jnp.float32))
+    msk2d, _ = _pad4(jnp.asarray(mask, jnp.float32))
+    inp, real, msk = _nhwc(inp2d), _nhwc(real2d), _nhwc(msk2d)
+
+    kg, kd = jax.random.split(key)
+    g_model, d_model = GeneratorUNet(), Discriminator()
+    g_vars = g_model.init(kg, inp, True)
+    d_vars = d_model.init(kd, inp, True)
+    tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
+    state = (g_vars["params"], g_vars["batch_stats"], tx.init(g_vars["params"]),
+             d_vars["params"], d_vars["batch_stats"], tx.init(d_vars["params"]))
+
+    d_hist, g_hist = [], []
+    done = 0
+    while done < cfg.epochs:
+        n = min(cfg.scan_chunk, cfg.epochs - done)
+        state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, cfg, n)
+        d_hist.append(dl)
+        g_hist.append(gl)
+        done += n
+
+    gp, gbs = state[0], state[1]
+    # final inference in eval mode (running batch stats), reference :150-153
+    fake = GeneratorUNet().apply({"params": gp, "batch_stats": gbs}, inp, False)
+    final = inp * msk + fake * (1.0 - msk)
+    return final[0, :f0, :t0, 0], (jnp.concatenate(d_hist), jnp.concatenate(g_hist))

@@ -1,0 +1,107 @@
+"""Spectrogram U-Net / GAN models (flax.linen, NHWC).
+
+Architecture parity with the reference (SURVEY.md §2):
+
+- SimpleUNet (main5_UNet_mask.py:11-56): 2-level U-Net, conv_block =
+  2x(Conv3x3 + ReLU), channels 1->16->32->64 bottleneck, ConvTranspose(k2,s2)
+  ups + skip concat, 1x1 final conv.
+- GeneratorUNet (main_gan_gap.py:14-52): same topology with BatchNorm +
+  LeakyReLU(0.2) blocks and tanh output.
+- Discriminator (main_gan_gap.py:54-71): 4 strided 4x4 convs (16/32/64
+  channels, BatchNorm after the 2nd and 3rd), sigmoid PatchGAN-style output.
+
+TPU-native divergence (documented): inputs are padded to multiples of 4
+before the net and cropped after, so ConvTranspose doublings align with the
+encoder skips exactly — replacing the reference's per-layer
+``F.interpolate`` shape fix-ups (main5_UNet_mask.py:47, 52) with static,
+XLA-friendly shapes. Same function class, better fusion.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        return nn.relu(x)
+
+
+class BNLeakyConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.leaky_relu(x, 0.2)
+
+
+def _pool(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _up(features):
+    return nn.ConvTranspose(features, (2, 2), strides=(2, 2))
+
+
+class SimpleUNet(nn.Module):
+    """(N, F, T, 1) -> (N, F, T, 1); F, T must be multiples of 4."""
+
+    @nn.compact
+    def __call__(self, x):
+        e1 = ConvBlock(16)(x)
+        e2 = ConvBlock(32)(_pool(e1))
+        b = ConvBlock(64)(_pool(e2))
+        d2 = ConvBlock(32)(jnp.concatenate([e2, _up(32)(b)], axis=-1))
+        d1 = ConvBlock(16)(jnp.concatenate([e1, _up(16)(d2)], axis=-1))
+        return nn.Conv(1, (1, 1))(d1)
+
+
+class GeneratorUNet(nn.Module):
+    """GAN generator: SimpleUNet topology + BatchNorm/LeakyReLU + tanh."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        e1 = BNLeakyConvBlock(16)(x, train)
+        e2 = BNLeakyConvBlock(32)(_pool(e1), train)
+        b = BNLeakyConvBlock(64)(_pool(e2), train)
+        d2 = BNLeakyConvBlock(32)(jnp.concatenate([e2, _up(32)(b)], axis=-1), train)
+        d1 = BNLeakyConvBlock(16)(jnp.concatenate([e1, _up(16)(d2)], axis=-1), train)
+        return jnp.tanh(nn.Conv(1, (1, 1))(d1))
+
+
+class Discriminator(nn.Module):
+    """Strided-conv PatchGAN-style discriminator with sigmoid output."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(16, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(32, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(x)
+        return nn.sigmoid(x)
+
+
+def pad_to_multiple(x: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple[int, int]]:
+    """Pad (F, T) up to multiples of ``multiple`` (zeros); return pad amounts."""
+    f, t = x.shape
+    pf = (-f) % multiple
+    pt = (-t) % multiple
+    return jnp.pad(x, ((0, pf), (0, pt))), (pf, pt)

@@ -1,0 +1,88 @@
+"""U-Net / GAN per-clip training loops: shape contracts + learning gates.
+
+CPU-sized problems (small spectrograms, few epochs); full budgets run on TPU
+in the pipelines/bench.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_inpainting_tpu.models import SimpleUNet, GeneratorUNet, Discriminator
+from audio_inpainting_tpu.methods.neural import (
+    UNetTrainConfig, unet_train_restore, GANTrainConfig, gan_train_restore)
+
+
+def _toy_spec(f=64, t=96, seed=0):
+    rng = np.random.RandomState(seed)
+    # structured low-rank "spectrogram" in [0, 1]
+    a = np.abs(rng.randn(f, 4)); b = np.abs(rng.randn(4, t))
+    v = a @ b
+    return (v / v.max()).astype(np.float32)
+
+
+def test_simple_unet_shapes():
+    x = jnp.zeros((1, 64, 96, 1))
+    m = SimpleUNet()
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    y = m.apply({"params": p}, x)
+    assert y.shape == (1, 64, 96, 1)
+
+
+def test_generator_discriminator_shapes():
+    x = jnp.zeros((1, 64, 96, 1))
+    g = GeneratorUNet()
+    gv = g.init(jax.random.PRNGKey(0), x, True)
+    y = g.apply(gv, x, True, mutable=["batch_stats"])[0]
+    assert y.shape == (1, 64, 96, 1)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
+    d = Discriminator()
+    dv = d.init(jax.random.PRNGKey(1), x, True)
+    z = d.apply(dv, x, True, mutable=["batch_stats"])[0]
+    assert z.ndim == 4 and z.shape[-1] == 1
+    assert 0.0 <= float(z.min()) and float(z.max()) <= 1.0  # sigmoid
+
+
+def test_unet_inpaints_masked_region():
+    v = _toy_spec()
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    cfg = UNetTrainConfig(epochs=300, lr=1e-3, masked_loss=True, scan_chunk=150)
+    final, pred, losses = unet_train_restore(v, mask, cfg, key=0)
+    final = np.asarray(final)
+    # kept region is the input itself (composite)
+    np.testing.assert_allclose(final[:, :40], v[:, :40], atol=1e-6)
+    # masked region should approach the target well below the trivial zero fill
+    err = np.linalg.norm(final[:, 40:56] - v[:, 40:56])
+    base = np.linalg.norm(v[:, 40:56])
+    assert err < 0.5 * base, (err, base)
+    # loss decreased
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_unet_full_loss_variant_runs():
+    v = _toy_spec(seed=1)
+    mask = np.ones_like(v)
+    mask[:, 30:50] = 0.0
+    cfg = UNetTrainConfig(epochs=60, masked_loss=False, scan_chunk=60)
+    final, pred, losses = unet_train_restore(v, mask, cfg, key=1)
+    assert np.isfinite(np.asarray(final)).all()
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_gan_trains_and_composites():
+    v = _toy_spec(seed=2) * 2.0 - 1.0   # [-1, 1] convention
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)  # damaged region at the floor
+    cfg = GANTrainConfig(epochs=120, scan_chunk=60)
+    final, (dl, gl) = gan_train_restore(inp, v, mask, cfg, key=0)
+    final = np.asarray(final)
+    assert final.shape == v.shape
+    assert np.isfinite(final).all()
+    # kept region untouched
+    np.testing.assert_allclose(final[:, :40], inp[:, :40], atol=1e-6)
+    # masked region moved toward the real data vs the -1 floor
+    err = np.linalg.norm(final[:, 40:56] - v[:, 40:56])
+    base = np.linalg.norm(inp[:, 40:56] - v[:, 40:56])
+    assert err < 0.7 * base, (err, base)
