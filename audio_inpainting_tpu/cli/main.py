@@ -1,0 +1,130 @@
+"""CLI entry points — the reference's ``python mainN_*.py`` reproduction
+recipe (README.md:81-134) as one structured command.
+
+  python -m audio_inpainting_tpu part0|part1|part2|all [options]
+  python -m audio_inpainting_tpu demo  [--assets-dir ...]
+  python -m audio_inpainting_tpu check [--assets-dir ...]   # asset contract
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--input", default="vocals_accompaniment_10s.wav",
+                   help="source clip (the reference's 10 s WAV)")
+    p.add_argument("--assets-dir", default="demo_assets")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true", help="print metrics as JSON")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="audio_inpainting_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p0 = sub.add_parser("part0", help="0.05 s segment: GP, AR, AR+texture, NMF")
+    _add_common(p0)
+    p0.add_argument("--gp-restarts", type=int, default=5)
+    p0.add_argument("--gp-steps", type=int, default=100)
+
+    p1 = sub.add_parser("part1", help="random dropouts: linear, AR, NMF, U-Net")
+    _add_common(p1)
+    p1.add_argument("--unet-epochs", type=int, default=400)
+
+    p2 = sub.add_parser("part2", help="2 s hole: linear, AR, NMF, GAN, diffusion")
+    _add_common(p2)
+    p2.add_argument("--gan-epochs", type=int, default=1500)
+    p2.add_argument("--diffusion-steps", type=int, default=1500)
+
+    pa = sub.add_parser("all", help="run all three scenario pipelines")
+    _add_common(pa)
+    pa.add_argument("--gp-restarts", type=int, default=5)
+    pa.add_argument("--gp-steps", type=int, default=100)
+    pa.add_argument("--unet-epochs", type=int, default=400)
+    pa.add_argument("--gan-epochs", type=int, default=1500)
+    pa.add_argument("--diffusion-steps", type=int, default=1500)
+
+    pd = sub.add_parser("demo", help="launch the demo UI over the assets")
+    pd.add_argument("--assets-dir", default="demo_assets")
+    pd.add_argument("--share", action="store_true")
+
+    pc = sub.add_parser("check", help="verify the demo asset contract")
+    pc.add_argument("--assets-dir", default="demo_assets")
+    return ap
+
+
+def _emit(name: str, results: dict, as_json: bool):
+    if as_json:
+        print(json.dumps({name: results}))
+        return
+    print(f"== {name} ==")
+    for method, vals in results.items():
+        if isinstance(vals, dict):
+            row = "  ".join(f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                            for k, v in vals.items())
+            print(f"  {method:12s} {row}")
+        else:
+            print(f"  {method:12s} {vals}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "check":
+        from ..pipelines.registry import ASSET_REGISTRY
+
+        missing = []
+        for part, methods in ASSET_REGISTRY.items():
+            for method, kinds in methods.items():
+                for kind, rel in kinds.items():
+                    path = os.path.join(args.assets_dir, rel)
+                    if not os.path.exists(path):
+                        missing.append(path)
+        if missing:
+            print(f"MISSING {len(missing)} artifacts:")
+            for m in missing:
+                print(" ", m)
+            return 1
+        print("asset contract complete")
+        return 0
+
+    if args.cmd == "demo":
+        from ..demo.app import launch
+
+        launch(args.assets_dir, share=args.share)
+        return 0
+
+    t_start = time.time()
+    if args.cmd in ("part0", "all"):
+        from ..methods.gp import GPConfig
+        from ..pipelines import run_part0
+
+        gp_cfg = GPConfig(
+            n_restarts=getattr(args, "gp_restarts", 5),
+            opt_steps=getattr(args, "gp_steps", 100))
+        _emit("part0", run_part0(args.input, args.assets_dir, seed=args.seed,
+                                 gp_cfg=gp_cfg), args.json)
+    if args.cmd in ("part1", "all"):
+        from ..pipelines import run_part1
+
+        _emit("part1", run_part1(args.input, args.assets_dir, seed=args.seed,
+                                 unet_epochs=args.unet_epochs), args.json)
+    if args.cmd in ("part2", "all"):
+        from ..methods.diffusion import DiffusionConfig
+        from ..pipelines import run_part2
+
+        dcfg = DiffusionConfig(train_steps=args.diffusion_steps)
+        _emit("part2", run_part2(args.input, args.assets_dir, seed=args.seed,
+                                 gan_epochs=args.gan_epochs,
+                                 diffusion_cfg=dcfg), args.json)
+    print(f"total wall: {time.time() - t_start:.1f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,128 @@
+"""Demo layer (L5): side-by-side listening/viewing of precomputed artifacts.
+
+Like the reference's demo.py, this layer performs NO DSP at request time —
+it reads only the artifact registry (pipelines/registry.py), which both the
+pipelines and this app share (fixing the reference's path-drift defects).
+
+Two front-ends:
+- gradio Blocks (two tabs, radio-per-method, audio + spectrogram +
+  commentary), used when gradio is importable — UI parity with demo.py.
+- a dependency-free static HTML gallery served by stdlib http.server,
+  used otherwise (this image has no gradio).
+"""
+
+from __future__ import annotations
+
+import html
+import os
+
+from ..pipelines.registry import ASSET_REGISTRY, DEMO_LABELS
+
+# Hard-coded commentary, reproduced from the reference demo (demo.py:104-183)
+COMMENTS = {
+    ("part1", "damaged"): "[Listening] Strong artifacts and dropouts.\n[Visual] Many vertical black bars in the spectrogram, indicating missing time segments.",
+    ("part1", "linear"): "[Listening] Gaps are filled but sound is muffled and unnatural.\n[Visual] Missing parts are connected by straight, smooth bands, losing fine time-frequency texture.",
+    ("part1", "ar"): "[Listening] Short gaps are reconstructed with clearer detail than linear.\n[Visual] Spectrogram lines across gaps look more coherent and structured.",
+    ("part1", "nmf"): "[Listening] Harmonic structure is preserved but may sound slightly synthetic.\n[Visual] Spectrogram shows smoother, template-like components filling the gaps.",
+    ("part1", "unet"): "[Listening] Reconstruction is close to natural.\n[Visual] U-Net restores rich horizontal textures; it is hard to see obvious repair seams.",
+    ("part1", "original"): "Reference clean signal with natural harmonics and textures.",
+    ("part2", "damaged"): "[Listening] A long silent hole appears in the middle.\n[Visual] A large pure-black region in the center of the spectrogram, showing complete information loss.",
+    ("part2", "linear"): "[Listening] The hole is filled but the transition is dull and smeared.\n[Visual] The gap becomes smooth, low-detail bands that ignore complex patterns.",
+    ("part2", "ar"): "[Listening] Temporal continuity is better, but long-term structure can drift.\n[Visual] Lines extend across the gap, yet some high-level patterns are inconsistent.",
+    ("part2", "nmf"): "[Listening] Reasonable timbre but can sound repetitive.\n[Visual] The gap is filled with a few repeating spectral templates.",
+    ("part2", "gan"): "[Listening] The gap is filled with plausible content but can be a bit rough.\n[Visual] The black region is replaced, but textures may look noisy or irregular.",
+    ("part2", "diffusion"): "[Listening] Very natural, with smooth transitions into and out of the gap.\n[Visual] The model hallucinates highly detailed, realistic time-frequency structure.",
+    ("part2", "original"): "Reference clean signal. Compare how close each model comes to this target.",
+}
+
+_HEADER = """# 🕵️ Signal Restorer: Audio Inpainting Showcase
+Use the tabs to switch scenes and **listen + see** how different models
+repair damaged audio."""
+
+
+def get_media_paths(assets_dir: str, part: str, method: str):
+    """Existence-guarded path lookup (None fallback), like demo.py:66-74."""
+    entry = ASSET_REGISTRY[part].get(method, {})
+    audio = os.path.join(assets_dir, entry["audio"]) if "audio" in entry else None
+    image = os.path.join(assets_dir, entry["image"]) if "image" in entry else None
+    return (audio if audio and os.path.exists(audio) else None,
+            image if image and os.path.exists(image) else None)
+
+
+def _launch_gradio(assets_dir: str, share: bool):  # pragma: no cover
+    import gradio as gr
+
+    with gr.Blocks() as demo:
+        gr.Markdown(_HEADER)
+        with gr.Tabs():
+            for part, title in [("part1", "🌦️ Scene 1: Random Fragments"),
+                                ("part2", "🕳️ Scene 2: 2s Temporal Hole")]:
+                with gr.TabItem(title):
+                    labels = dict((lbl, key) for key, lbl in DEMO_LABELS[part])
+                    with gr.Row():
+                        with gr.Column(scale=1):
+                            radio = gr.Radio(choices=list(labels.keys()),
+                                             value=list(labels.keys())[0],
+                                             label="Choose method")
+                            desc = gr.Textbox(label="Technical commentary", lines=4)
+                        with gr.Column(scale=2):
+                            audio = gr.Audio(label="👂 Audio preview", type="filepath")
+                            img = gr.Image(label="👁️ Spectrogram", type="filepath",
+                                           interactive=False)
+
+                    def update(label, _part=part, _labels=labels):
+                        key = _labels[label]
+                        a, i = get_media_paths(assets_dir, _part, key)
+                        return a, COMMENTS.get((_part, key), ""), i
+
+                    radio.change(update, inputs=radio, outputs=[audio, desc, img])
+    demo.launch(share=share)
+
+
+def render_static_html(assets_dir: str) -> str:
+    """Dependency-free gallery over the same registry + commentary."""
+    rows = []
+    for part, title in [("part1", "Scene 1: Random Fragments"),
+                        ("part2", "Scene 2: 2s Temporal Hole")]:
+        rows.append(f"<h2>{html.escape(title)}</h2>")
+        for key, label in DEMO_LABELS[part]:
+            a, i = get_media_paths(assets_dir, part, key)
+            comment = html.escape(COMMENTS.get((part, key), ""))
+            rows.append(f"<div class='card'><h3>{html.escape(label)}</h3>")
+            if a:
+                rel = os.path.relpath(a, assets_dir)
+                rows.append(f"<audio controls src='{rel}'></audio>")
+            if i:
+                rel = os.path.relpath(i, assets_dir)
+                rows.append(f"<br><img src='{rel}' width='640'>")
+            rows.append(f"<pre>{comment}</pre></div>")
+    body = "\n".join(rows)
+    return ("<html><head><title>Audio Inpainting Showcase</title><style>"
+            "body{font-family:sans-serif;max-width:900px;margin:auto}"
+            ".card{border:1px solid #ccc;border-radius:8px;padding:12px;margin:12px 0}"
+            "</style></head><body><h1>Signal Restorer: Audio Inpainting Showcase"
+            f"</h1>{body}</body></html>")
+
+
+def _launch_static(assets_dir: str, port: int = 7860):  # pragma: no cover
+    import http.server
+
+    index = os.path.join(assets_dir, "index.html")
+    with open(index, "w") as f:
+        f.write(render_static_html(assets_dir))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=assets_dir, **kw)
+
+    print(f"demo at http://localhost:{port}/ (static gallery; gradio not installed)")
+    http.server.ThreadingHTTPServer(("", port), Handler).serve_forever()
+
+
+def launch(assets_dir: str = "demo_assets", share: bool = False):
+    try:
+        import gradio  # noqa: F401
+
+        _launch_gradio(assets_dir, share)
+    except ImportError:
+        _launch_static(assets_dir)

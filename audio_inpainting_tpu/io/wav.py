@@ -121,12 +121,38 @@ def peak_normalize(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _load_native_codec():
+    """Import the C codec built by runtime/build.py (None if not built)."""
+    try:
+        import importlib.util
+        import sysconfig
+
+        runtime_dir = os.path.join(os.path.dirname(__file__), "..", "..", "runtime")
+        suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+        so = os.path.join(runtime_dir, f"_wavcodec{suffix}")
+        if not os.path.exists(so):
+            return None
+        spec = importlib.util.spec_from_file_location("_wavcodec", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:  # pragma: no cover - any load failure -> numpy path
+        return None
+
+
+_NATIVE = _load_native_codec()
+
+
 def load_mono_normalized(path: str) -> tuple[int, np.ndarray]:
     """The reference's canonical load: read -> mono mix -> peak-normalize.
 
     Mirrors main2_AR.py:41-43 / main3_AR_text_gap.py:26-31 exactly
     (mean over channels first, then divide by the post-mix peak).
+    Uses the native C codec (runtime/wavcodec.c) when built.
     """
+    if _NATIVE is not None:
+        sr, raw = _NATIVE.load_mono_normalized(path)
+        return sr, np.frombuffer(raw, dtype=np.float32)
     sr, data = read_wav(path)
     return sr, peak_normalize(to_float_mono(data))
 
@@ -138,6 +164,10 @@ def save_wav_int16(audio: np.ndarray, sr: int, path: str, clip: float = 1.0) -> 
     (reference main5_UNet_mask.py:231, 237).
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    audio = np.clip(np.asarray(audio, dtype=np.float32), -clip, clip)
+    audio = np.ascontiguousarray(np.asarray(audio, dtype=np.float32))
+    if _NATIVE is not None:
+        _NATIVE.write_int16(path, sr, audio.tobytes(), float(clip))
+        return path
+    audio = np.clip(audio, -clip, clip)
     write_wav(path, sr, (audio * 32767.0).astype(np.int16))
     return path

@@ -1,0 +1,231 @@
+"""Diffusion spectrogram inpainting (the reference's Riffusion role).
+
+The reference pipes a log-spectrogram image through
+``StableDiffusionInpaintPipeline('riffusion/riffusion-model-v1')`` at 512x512
+with 50 denoise steps (main_diffusion_gap.py). This framework reproduces the
+exact spectrogram<->image codec and the inpainting contract with a
+TPU-native diffusion engine:
+
+- codec: power spectrogram (n_fft=2048, hop=512, power=2) -> log-dB
+  ``20*log10(clamp(s, 1e-5)) - 20`` clamped at -100 -> min-max uint8 image,
+  flipud (main_diffusion_gap.py:22-41); mask = pixels < 10; Griffin-Lim
+  (power=1) back to audio.
+- engine: a per-clip DDPM (models/diffusion_unet.py) trained on random
+  patches of the clip's own spectrogram image (the reference's
+  per-clip-overfit spirit — its U-Net/GAN scripts train on the single clip
+  too, SURVEY.md §2 "known defects"), then RePaint-style DDIM inpainting of
+  the masked region at full resolution. Training = one lax.scan'd Adam loop;
+  sampling = 50 DDIM steps in one device program.
+
+A local riffusion checkpoint can be slotted in later via the params
+argument of ``ddim_repaint_inpaint`` (zero-egress image: no hub downloads).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.diffusion_unet import DiffusionUNet
+from ..ops.griffin_lim import griffin_lim
+from ..ops.stft import torch_stft_config, stft
+
+# ------------------------------------------------------------- codec -------
+
+
+def wav_to_logspec(x: jax.Array) -> jax.Array:
+    """(n,) waveform -> log-dB spectrogram (1025, frames); reference :22-27."""
+    s = jnp.abs(stft(jnp.asarray(x, jnp.float32), torch_stft_config(2048, 512))) ** 2
+    ls = 20.0 * jnp.log10(jnp.maximum(s, 1e-5)) - 20.0
+    return jnp.maximum(ls, -100.0)
+
+
+def logspec_to_image(logspec: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Min-max -> uint8, flipud. Returns (img (H, W) uint8, smin, smax)."""
+    logspec = np.asarray(logspec)
+    smin, smax = float(logspec.min()), float(logspec.max())
+    data = (logspec - smin) / max(smax - smin, 1e-12)
+    return np.flipud((data * 255.0).astype(np.uint8)), smin, smax
+
+
+def image_to_linear_spec(img: np.ndarray, smin: float, smax: float) -> np.ndarray:
+    """uint8 image -> linear magnitude spectrogram (reference :36-41)."""
+    data = np.flipud(np.asarray(img, np.float32)).copy() / 255.0
+    logspec = data * (smax - smin) + smin
+    return np.power(10.0, (logspec + 20.0) / 20.0)
+
+
+def mask_from_image(img: np.ndarray, threshold: int = 10) -> np.ndarray:
+    """255 where the image is near-black (damaged), else 0 (reference :52-55)."""
+    return np.where(np.asarray(img) < threshold, 255, 0).astype(np.uint8)
+
+
+def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """PIL bicubic resize (the reference resizes through PIL)."""
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize(size))
+
+
+# ----------------------------------------------------- DDPM machinery ------
+
+_T = 1000
+
+
+def _schedule():
+    betas = jnp.linspace(1e-4, 0.02, _T, dtype=jnp.float32)
+    alphas = 1.0 - betas
+    acp = jnp.cumprod(alphas)
+    return betas, alphas, acp
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    train_steps: int = 1500
+    batch: int = 8
+    patch: int = 128
+    lr: float = 2e-4
+    sample_steps: int = 50   # DDIM steps (reference num_inference_steps=50)
+    base_channels: int = 32
+    scan_chunk: int = 250
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
+                   donate_argnums=(0, 1))
+def _train_chunk(params, opt_state, img, keep, key, cfg: DiffusionConfig,
+                 n_steps: int):
+    """n_steps of DDPM training on random patches of one image.
+
+    img: (H, W) in [-1, 1]; keep: (H, W) 1 = trustworthy pixel (loss-masked
+    so the model never learns the damaged hole as 'data').
+    """
+    import optax
+
+    model = DiffusionUNet(base=cfg.base_channels)
+    tx = optax.adam(cfg.lr)
+    _, _, acp = _schedule()
+    H, W = img.shape
+    P = cfg.patch
+
+    def loss_fn(p, k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        ys = jax.random.randint(k1, (cfg.batch,), 0, H - P)
+        xs = jax.random.randint(k2, (cfg.batch,), 0, W - P)
+        patch_idx = (jnp.arange(P)[None, :, None] + ys[:, None, None],
+                     jnp.arange(P)[None, None, :] + xs[:, None, None])
+        x0 = img[patch_idx][..., None]            # (B, P, P, 1)
+        w = keep[patch_idx][..., None]
+        t = jax.random.randint(k3, (cfg.batch,), 0, _T)
+        eps = jax.random.normal(k4, x0.shape)
+        a = acp[t][:, None, None, None]
+        xt = jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * eps
+        pred = model.apply({"params": p}, xt, t.astype(jnp.float32))
+        return jnp.sum(w * (pred - eps) ** 2) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def step(carry, k):
+        p, st = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, k)
+        upd, st = tx.update(g, st, p)
+        return (optax.apply_updates(p, upd), st), loss
+
+    keys = jax.random.split(key, n_steps)
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ddim_repaint(params, img, keep, key, cfg: DiffusionConfig):
+    """DDIM (eta=0) sampling with RePaint composites: at every step the known
+    region is re-noised from the data, the hole comes from the model."""
+    model = DiffusionUNet(base=cfg.base_channels)
+    _, _, acp = _schedule()
+    S = cfg.sample_steps
+    ts = (jnp.arange(S, 0, -1) * (_T // S) - 1).astype(jnp.int32)  # T-1 .. ~0
+    x0_known = img[None, :, :, None]
+    keep4 = keep[None, :, :, None]
+
+    k_init, k_noise = jax.random.split(key)
+    x = jax.random.normal(k_init, x0_known.shape)
+
+    def step(carry, i):
+        x, k = carry
+        t = ts[i]
+        t_next = jnp.where(i + 1 < S, ts[jnp.minimum(i + 1, S - 1)], -1)
+        a_t = acp[t]
+        a_next = jnp.where(t_next >= 0, acp[jnp.maximum(t_next, 0)], 1.0)
+
+        # RePaint: known region at the current noise level
+        k, k1 = jax.random.split(k)
+        noise = jax.random.normal(k1, x.shape)
+        x_known_t = jnp.sqrt(a_t) * x0_known + jnp.sqrt(1 - a_t) * noise
+        x = keep4 * x_known_t + (1 - keep4) * x
+
+        eps = model.apply({"params": params}, x,
+                          jnp.full((1,), t, jnp.float32))
+        x0_pred = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        x = jnp.sqrt(a_next) * x0_pred + jnp.sqrt(1 - a_next) * eps
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(step, (x, k_noise), jnp.arange(S))
+    # final composite: keep known pixels verbatim
+    out = keep4 * x0_known + (1 - keep4) * x
+    return out[0, :, :, 0]
+
+
+def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
+                            cfg: DiffusionConfig = DiffusionConfig(),
+                            key: jax.Array | int = 0,
+                            params=None) -> np.ndarray:
+    """Inpaint the masked region of a uint8 grayscale spectrogram image.
+
+    mask_u8: 255 = damaged. Trains the per-clip DDPM on the undamaged pixels
+    unless pretrained ``params`` are supplied. Returns uint8 image.
+    """
+    import optax
+
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    h, w = img_u8.shape
+    ph, pw = (-h) % 4, (-w) % 4
+    img = jnp.asarray(np.pad(img_u8, ((0, ph), (0, pw))), jnp.float32) / 127.5 - 1.0
+    keep = jnp.asarray(np.pad(mask_u8 == 0, ((0, ph), (0, pw)),
+                              constant_values=False), jnp.float32)
+
+    k_train, k_sample, k_init = jax.random.split(key, 3)
+    if params is None:
+        model = DiffusionUNet(base=cfg.base_channels)
+        params = model.init(
+            k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
+            jnp.zeros((1,)))["params"]
+        opt_state = optax.adam(cfg.lr).init(params)
+        done = 0
+        while done < cfg.train_steps:
+            n = min(cfg.scan_chunk, cfg.train_steps - done)
+            params, opt_state, _ = _train_chunk(
+                params, opt_state, img, keep, jax.random.fold_in(k_train, done),
+                cfg, n)
+            done += n
+
+    out = _ddim_repaint(params, img, keep, k_sample, cfg)
+    out_u8 = np.rint(np.asarray(jnp.clip((out + 1.0) * 127.5, 0, 255))).astype(np.uint8)
+    return out_u8[:h, :w]
+
+
+def diffusion_restore_audio(damaged: np.ndarray, sr: int,
+                            cfg: DiffusionConfig = DiffusionConfig(),
+                            key: int = 0) -> np.ndarray:
+    """Full reference pipeline: wav -> log-spec image -> inpaint masked
+    (near-black) region -> linear spec -> Griffin-Lim -> waveform."""
+    logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
+    img, smin, smax = logspec_to_image(logspec)
+    mask = mask_from_image(img)
+    inpainted = diffusion_inpaint_image(img, mask, cfg, key)
+    linear = image_to_linear_spec(inpainted, smin, smax)
+    out = griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,
+                      n_iter=32, length=len(damaged), power=1.0, seed=key)
+    return np.asarray(out)

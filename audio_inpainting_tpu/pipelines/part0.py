@@ -1,0 +1,107 @@
+"""Part 0: tiny contiguous gap in a 0.05 s mid-clip segment.
+
+Four restorations of a 20% gap at 40% of the segment, replicating the
+reference scripts' scenario drivers (main1_gp.py:161-172, main2_AR.py:154-165,
+main3_AR_text.py, main4_NMF.py:163-174) with one shared load/mask path.
+Emits the part0 artifact set and returns the SNR table the reference only
+printed.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..corrupt import contiguous_gap_mask
+from ..io import load_mono_normalized
+from ..metrics import local_snr_db, snr_db
+from ..methods import ARConfig, ar_restore_gap
+from ..methods.gp import GPConfig, gp_restore
+from ..methods.nmf import NMFConfig, nmf_inpaint_iterative
+from ..ops import scipy_stft_config, stft, istft
+from ..ops.stft import magphase, polar
+from .registry import write_artifacts
+
+
+def _metrics(name, original, restored, gs, ge, t0, results):
+    results[name] = {
+        "snr_db": float(snr_db(original, restored)),
+        "local_snr_db": float(local_snr_db(original, restored, gs, ge)),
+        "wall_s": time.time() - t0,
+    }
+
+
+def run_part0(input_file: str, assets_dir: str = "demo_assets",
+              duration: float = 0.05, gap_ratio: float = 0.2,
+              seed: int = 0, gp_cfg: GPConfig | None = None) -> dict:
+    sr, data = load_mono_normalized(input_file)
+    n = int(duration * sr)
+    start = len(data) // 2
+    signal = data[start : start + n]
+    mask, (gs, ge) = contiguous_gap_mask(n, gap_ratio)
+    corrupted = signal.copy()
+    corrupted[gs:ge] = 0.0
+    results: dict = {"gap": (gs, ge), "sr": sr}
+
+    # --- GP (main1_gp.py) ---
+    t0 = time.time()
+    gp_out, _sigma = gp_restore(signal, mask, sr, gp_cfg or GPConfig(), key=seed)
+    _metrics("gp", signal, gp_out, gs, ge, t0, results)
+    write_artifacts(corrupted, sr, assets_dir, "part0", "gp_corrupted")
+    write_artifacts(gp_out, sr, assets_dir, "part0", "gp")
+    write_artifacts(signal, sr, assets_dir, "part0", "gp_original")
+
+    # --- Bidirectional AR, order 30, no texture (main2_AR.py) ---
+    t0 = time.time()
+    cfg = ARConfig(order=30, alpha=0.1, texture=False, context_len=max(gs, n - ge))
+    ar_out = np.asarray(ar_restore_gap(jnp.asarray(corrupted), (gs, ge), cfg, key=seed))
+    _metrics("ar", signal, ar_out, gs, ge, t0, results)
+    write_artifacts(corrupted, sr, assets_dir, "part0", "ar_corrupted")
+    write_artifacts(ar_out, sr, assets_dir, "part0", "ar")
+    write_artifacts(signal, sr, assets_dir, "part0", "ar_original")
+
+    # --- AR + texture injection (main3_AR_text.py) ---
+    t0 = time.time()
+    cfg = ARConfig(order=30, alpha=0.5, texture=True, context_len=max(gs, n - ge))
+    art_out = np.asarray(ar_restore_gap(jnp.asarray(corrupted), (gs, ge), cfg, key=seed))
+    _metrics("ar_texture", signal, art_out, gs, ge, t0, results)
+    write_artifacts(corrupted, sr, assets_dir, "part0", "ar_texture_corrupted")
+    write_artifacts(art_out, sr, assets_dir, "part0", "ar_texture")
+    write_artifacts(signal, sr, assets_dir, "part0", "ar_texture_original")
+
+    # --- Iterative NMF (main4_NMF.py): 512/384 STFT, faded gap, 50 refits ---
+    t0 = time.time()
+    nmf_corr = signal.copy()
+    fade_len = min(100, gs, n - ge)
+    if fade_len > 0:  # reference fades into the gap (main4_NMF.py:53-58)
+        window = np.linspace(1, 0, fade_len, dtype=np.float32)
+        nmf_corr[gs - fade_len : gs] *= window
+        nmf_corr[ge : ge + fade_len] *= window[::-1]
+    nmf_corr[gs:ge] = 0.0
+    scfg = scipy_stft_config(512, 384)
+    z = stft(jnp.asarray(nmf_corr), scfg)
+    mag, phase = magphase(z)
+    t_step = 128 / sr  # hop/sr: scipy stft frame spacing
+    col_start = int(gs / sr / t_step)
+    col_end = int(ge / sr / t_step)
+    out_mag = nmf_inpaint_iterative(
+        mag, col_start, col_end,
+        NMFConfig(n_components=40, n_iter=200, outer_iters=50),
+        jax.random.PRNGKey(seed))
+    nmf_out = np.asarray(istft(polar(out_mag, phase), scfg, n))
+    # boundary crossfade back into the clean signal (main4_NMF.py:114-126)
+    final = signal.copy()
+    bw = 50
+    ramp = np.linspace(0, 1, bw, dtype=np.float32)
+    final[gs:ge] = nmf_out[gs:ge]
+    final[gs - bw : gs] = final[gs - bw : gs] * (1 - ramp) + nmf_out[gs - bw : gs] * ramp
+    final[ge : ge + bw] = final[ge : ge + bw] * ramp + nmf_out[ge : ge + bw] * (1 - ramp)
+    _metrics("nmf", signal, final, gs, ge, t0, results)
+    write_artifacts(nmf_corr, sr, assets_dir, "part0", "nmf_corrupted")
+    write_artifacts(final, sr, assets_dir, "part0", "nmf")
+    write_artifacts(signal, sr, assets_dir, "part0", "nmf_original")
+
+    return results

@@ -1,0 +1,46 @@
+"""Native C WAV codec vs the numpy path (skipped when not built)."""
+
+import numpy as np
+import pytest
+
+import audio_inpainting_tpu.io.wav as W
+
+needs_native = pytest.mark.skipif(W._NATIVE is None,
+                                  reason="native codec not built "
+                                         "(python runtime/build.py)")
+
+
+@needs_native
+def test_native_load_matches_numpy(tmp_path):
+    rng = np.random.RandomState(0)
+    stereo = (rng.randn(5000, 2) * 12000).astype(np.int16)
+    p = str(tmp_path / "s.wav")
+    W.write_wav(p, 44100, stereo)
+
+    sr_n, a = W._NATIVE.load_mono_normalized(p)
+    a = np.frombuffer(a, dtype=np.float32)
+    sr_p, data = W.read_wav(p)
+    b = W.peak_normalize(W.to_float_mono(data))
+    assert sr_n == sr_p
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@needs_native
+def test_native_write_matches_numpy_quantization(tmp_path):
+    x = (np.sin(np.linspace(0, 50, 4000)) * 1.2).astype(np.float32)
+    p = str(tmp_path / "q.wav")
+    W._NATIVE.write_int16(p, 8000, np.ascontiguousarray(x).tobytes(), 1.0)
+    sr, q = W.read_wav(p)
+    expected = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    assert sr == 8000
+    np.testing.assert_array_equal(q, expected)
+
+
+@needs_native
+def test_native_float32_wav(tmp_path):
+    x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    W.write_wav(p, 16000, x)
+    sr, a = W._NATIVE.load_mono_normalized(p)
+    a = np.frombuffer(a, dtype=np.float32)
+    np.testing.assert_allclose(a, x / np.abs(x).max(), atol=1e-6)
