@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--gan-epochs", type=int, default=1500)
     pa.add_argument("--diffusion-steps", type=int, default=1500)
 
+    pu = sub.add_parser("unet-gap", help="main5_UNet_gap overfit demo variant")
+    _add_common(pu)
+    pu.add_argument("--epochs", type=int, default=600)
+
     pd = sub.add_parser("demo", help="launch the demo UI over the assets")
     pd.add_argument("--assets-dir", default="demo_assets")
     pd.add_argument("--share", action="store_true")
@@ -100,6 +104,13 @@ def main(argv=None) -> int:
         return 0
 
     t_start = time.time()
+    if args.cmd == "unet-gap":
+        from ..pipelines.extras import run_unet_gap
+
+        _emit("unet-gap", {"unet_gap": run_unet_gap(
+            args.input, args.assets_dir, epochs=args.epochs,
+            seed=args.seed)}, args.json)
+        return 0
     if args.cmd in ("part0", "all"):
         from ..methods.gp import GPConfig
         from ..pipelines import run_part0

@@ -218,14 +218,40 @@ def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
 
 def diffusion_restore_audio(damaged: np.ndarray, sr: int,
                             cfg: DiffusionConfig = DiffusionConfig(),
-                            key: int = 0) -> np.ndarray:
+                            key: int = 0, composite: bool = True) -> np.ndarray:
     """Full reference pipeline: wav -> log-spec image -> inpaint masked
-    (near-black) region -> linear spec -> Griffin-Lim -> waveform."""
+    (near-black) region -> linear spec -> Griffin-Lim -> waveform.
+
+    ``composite=True`` (default) crossfades the Griffin-Lim reconstruction
+    into the original waveform so only the damaged span is replaced. The
+    reference Griffin-Lims the ENTIRE clip (main_diffusion_gap.py:72-74),
+    which discards the known region's true phase and wrecks it sample-wise
+    (measured -16 dB global SNR on the real clip); composite keeps the
+    hallucinated gap fill while leaving intact audio intact.
+    ``composite=False`` reproduces the reference behavior exactly.
+    """
+    damaged = np.asarray(damaged, np.float32)
     logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
     img, smin, smax = logspec_to_image(logspec)
     mask = mask_from_image(img)
     inpainted = diffusion_inpaint_image(img, mask, cfg, key)
     linear = image_to_linear_spec(inpainted, smin, smax)
-    out = griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,
-                      n_iter=32, length=len(damaged), power=1.0, seed=key)
-    return np.asarray(out)
+    out = np.asarray(griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,
+                                 n_iter=32, length=len(damaged), power=1.0,
+                                 seed=key))
+    if not composite:
+        return out
+    # time-domain composite: replace only fully-damaged image columns
+    # (hop=512 frames), with a 1024-sample crossfade at each boundary
+    bad_cols = np.flatnonzero((mask == 255).mean(axis=0) > 0.95)
+    if bad_cols.size == 0:
+        return damaged
+    weight = np.zeros(len(damaged), np.float32)
+    for c in bad_cols:  # bad col spans samples [c*512-1024, c*512+1024) centered
+        lo = max(0, c * 512 - 1024)
+        hi = min(len(damaged), c * 512 + 1024)
+        weight[lo:hi] = 1.0
+    xfade = 1024
+    kernel = np.ones(xfade, np.float32) / xfade
+    weight = np.convolve(weight, kernel, mode="same")
+    return damaged * (1.0 - weight) + out * weight

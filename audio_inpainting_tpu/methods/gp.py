@@ -39,7 +39,8 @@ class GPConfig:
     noise: float = 0.01
     noise_bounds: tuple = (1e-5, 1e5)
     n_restarts: int = 5
-    opt_steps: int = 100
+    opt_steps: int = 60
+    max_linesearch_steps: int = 6
     jitter: float = 1e-10
 
 
@@ -90,6 +91,14 @@ def _transforms(cfg: GPConfig):
     return to_theta, from_theta
 
 
+def _make_opt(cfg: GPConfig):
+    # capped zoom linesearch: each linesearch step is a full O(n^3) MLL
+    # evaluation, and a handful suffice on this 5-parameter problem
+    return optax.lbfgs(
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=cfg.max_linesearch_steps))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def _fit_chunk(us, states, x, y, cfg: GPConfig, n_steps: int):
     """Advance every restart by n_steps L-BFGS iterations (vmapped)."""
@@ -98,7 +107,7 @@ def _fit_chunk(us, states, x, y, cfg: GPConfig, n_steps: int):
     def loss(u):
         return _neg_mll(to_theta(u), x, y, cfg.jitter)
 
-    opt = optax.lbfgs()
+    opt = _make_opt(cfg)
     value_and_grad = optax.value_and_grad_from_state(loss)
 
     def run_one(u0, st0):
@@ -121,8 +130,7 @@ def _init_restarts(cfg: GPConfig, key: jax.Array):
     rand = jax.random.uniform(key, (cfg.n_restarts, lo.shape[0]))
     us = jnp.concatenate(
         [from_theta(_theta0(cfg))[None], from_theta(lo + (hi - lo) * rand)], axis=0)
-    opt = optax.lbfgs()
-    states = jax.vmap(opt.init)(us)
+    states = jax.vmap(_make_opt(cfg).init)(us)
     return us, states
 
 

@@ -67,9 +67,13 @@ def run_part1(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     # reload through the int16 chain, as the downstream scripts do
     _, damaged = load_mono_normalized(asset_path(assets_dir, "part1", "damaged"))
 
-    # --- 2. linear interpolation (threshold 1e-4) ------------------------
+    # --- 2. linear interpolation -----------------------------------------
+    # linear_interp_part1.py uses threshold 1e-4, which misses iSTFT-produced
+    # near-silence (~1e-3..1e-2); its sibling scripts raised it to 0.01 for
+    # exactly this input (main3_AR_text_mask.py:33, main4_NMF_mask.py:31).
+    # We use 0.01 so the baseline actually detects the published corruption.
     t0 = time.time()
-    valid = np.abs(damaged) > 1e-4
+    valid = np.abs(damaged) > 0.01
     lin = np.asarray(linear_interp_masked(jnp.asarray(damaged), jnp.asarray(valid)))
     _metrics("linear", data, lin, t0, results)
     write_artifacts(lin, sr, assets_dir, "part1", "linear")

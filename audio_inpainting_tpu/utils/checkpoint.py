@@ -1,0 +1,45 @@
+"""Checkpoint/resume for trained method models.
+
+The reference has no checkpointing at all — U-Net/GAN weights are retrained
+from scratch per run and discarded (SURVEY.md §5: no torch.save anywhere).
+This module adds orbax-backed param persistence so per-clip training can be
+resumed or reused, and so shared models trained with parallel/train.py can
+be served later.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(params, path: str) -> str:
+    """Save a param pytree to ``path`` (an orbax directory)."""
+    path = os.path.abspath(path)
+    _checkpointer().save(path, params, force=True)
+    return path
+
+
+def load_params(path: str):
+    """Load a param pytree saved by save_params."""
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def latest_checkpoint(directory: str, prefix: str = "step_") -> str | None:
+    """Return the highest-numbered ``<prefix>N`` checkpoint dir, if any."""
+    if not os.path.isdir(directory):
+        return None
+    best, best_n = None, -1
+    for name in os.listdir(directory):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = os.path.join(directory, name), int(m.group(1))
+    return best
