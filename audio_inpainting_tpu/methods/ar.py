@@ -102,9 +102,9 @@ def _fit_ridge_batched(ctxs: jax.Array, pad_lens: jax.Array, cfg: ARConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "texture"))
-def _extrapolate(ctxs: jax.Array, w: jax.Array, b: jax.Array,
-                 noise_std: jax.Array, valid: jax.Array, key: jax.Array,
-                 steps: int, texture: bool) -> jax.Array:
+def _extrapolate_scan(ctxs: jax.Array, w: jax.Array, b: jax.Array,
+                      noise_std: jax.Array, valid: jax.Array, key: jax.Array,
+                      steps: int, texture: bool) -> jax.Array:
     """Recursive AR extrapolation as one scan over the whole batch.
 
     Returns (B, steps) predictions (zeros for invalid models).
@@ -125,6 +125,24 @@ def _extrapolate(ctxs: jax.Array, w: jax.Array, b: jax.Array,
 
     _, preds = jax.lax.scan(step, state0, eps)
     return preds.T  # (B, steps)
+
+
+def _extrapolate(ctxs: jax.Array, w: jax.Array, b: jax.Array,
+                 noise_std: jax.Array, valid: jax.Array, key: jax.Array,
+                 steps: int, texture: bool) -> jax.Array:
+    """Dispatch the recurrence to the Pallas VMEM kernel on TPU (measured
+    1.5x over lax.scan at the Part-2 shape) and to lax.scan elsewhere."""
+    from ..ops.pallas.ar_scan import ar_extrapolate_pallas, pallas_supported
+
+    order = w.shape[1]
+    if pallas_supported() and order <= 128:
+        B, C = ctxs.shape
+        state0 = ctxs[:, C - order - 1 : C - 1]
+        eps = (jax.random.normal(key, (steps, B)).T if texture
+               else jnp.zeros((B, steps)))
+        gain = jnp.where(valid, 1.0, 0.0)
+        return ar_extrapolate_pallas(state0, w, b, noise_std, gain, eps, steps)
+    return _extrapolate_scan(ctxs, w, b, noise_std, valid, key, steps, texture)
 
 
 @functools.partial(jax.jit, static_argnames=("context_len",))
