@@ -192,7 +192,7 @@ def _blend_and_paste(signal: jax.Array, starts: jax.Array, lens: jax.Array,
 
 
 def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
-                  cfg: ARConfig, key: jax.Array) -> jax.Array:
+                  cfg: ARConfig, key: jax.Array):
     starts_a = jnp.asarray(starts)
     ends_a = jnp.asarray(ends)
     lens = ends_a - starts_a
@@ -201,8 +201,9 @@ def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
     w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
     preds = _extrapolate(ctxs, w, b, std, valid, key, max_len, cfg.texture)
     G = len(starts)
-    return _blend_and_paste(signal, starts_a, lens, preds[:G], preds[G:],
-                            valid[:G], valid[G:], max_len)
+    out = _blend_and_paste(signal, starts_a, lens, preds[:G], preds[G:],
+                           valid[:G], valid[G:], max_len)
+    return out, preds
 
 
 def ar_restore_gaps(signal, gaps: list[tuple[int, int]], cfg: ARConfig,
@@ -222,7 +223,7 @@ def ar_restore_gaps(signal, gaps: list[tuple[int, int]], cfg: ARConfig,
     ends = np.array([e for _, e in gaps], dtype=np.int32)
     out = signal
     for p in range(cfg.passes):
-        out = _restore_once(out, starts, ends, cfg, jax.random.fold_in(key, p))
+        out, _ = _restore_once(out, starts, ends, cfg, jax.random.fold_in(key, p))
     return out
 
 
@@ -230,3 +231,20 @@ def ar_restore_gap(signal, gap: tuple[int, int], cfg: ARConfig,
                    key: jax.Array | int = 0) -> jax.Array:
     """Single-gap restoration (Part 0 / Part 2)."""
     return ar_restore_gaps(signal, [gap], cfg, key)
+
+
+def ar_restore_gap_detailed(signal, gap: tuple[int, int], cfg: ARConfig,
+                            key: jax.Array | int = 0):
+    """Single-gap restoration also returning (pred_fwd, pred_bwd_reversed)
+    for the reference's fwd/bwd overlay visualization (main2_AR.py:134-152)."""
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    signal = jnp.asarray(signal, jnp.float32)
+    s, e = gap
+    out, preds = _restore_once(
+        signal, np.array([s], np.int32), np.array([e], np.int32), cfg,
+        jax.random.fold_in(key, 0))
+    L = e - s
+    fwd = preds[0, :L]
+    bwd = preds[1, :L][::-1]
+    return out, np.asarray(fwd), np.asarray(bwd)

@@ -27,6 +27,38 @@ from ..ops.stft import magphase, polar
 _CFG = torch_stft_config(1024, 256)
 
 
+def run_generate_part1(input_file: str, assets_dir: str = "demo_assets",
+                       mask_ratio: float = 0.25, seed: int = 0) -> dict:
+    """Time-domain random-dropout corruption + inline linear fill — the
+    reference's generate_part1_data.py (gaps 50-400 samples, ratio 0.25,
+    np.interp fill), seeded here. Writes damaged_random / fixed_linear_random
+    / original under the assets root, as the reference did."""
+    import jax
+
+    from ..corrupt import random_dropout_mask
+    from ..methods import linear_interp_masked
+
+    sr, data = load_mono_normalized(input_file)
+    mask = np.asarray(random_dropout_mask(
+        jax.random.PRNGKey(seed), len(data), mask_ratio=mask_ratio))
+    corrupted = data.copy()
+    corrupted[~mask] = 0.0
+    fixed = np.asarray(linear_interp_masked(jnp.asarray(corrupted),
+                                            jnp.asarray(mask)))
+
+    out = {}
+    for name, audio in [("damaged_random", corrupted),
+                        ("fixed_linear_random", fixed),
+                        ("original", data)]:
+        save_wav_int16(audio, sr, os.path.join(assets_dir, f"{name}.wav"))
+        save_spectrogram_png(audio, sr,
+                             os.path.join(assets_dir, f"spec_{name}.png"))
+    out["damaged_snr_db"] = float(snr_db(data, corrupted))
+    out["linear_snr_db"] = float(snr_db(data, fixed))
+    out["lost_fraction"] = float(1 - mask.mean())
+    return out
+
+
 def run_unet_gap(input_file: str, assets_dir: str = "demo_assets",
                  duration: float = 10.0, epochs: int = 600,
                  seed: int = 0) -> dict:

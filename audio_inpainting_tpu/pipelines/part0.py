@@ -9,6 +9,7 @@ printed.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -17,8 +18,10 @@ import numpy as np
 
 from ..corrupt import contiguous_gap_mask
 from ..io import load_mono_normalized
+from ..io.viz import ar_waveform_viz, gp_waveform_viz, nmf_waveform_viz
 from ..metrics import local_snr_db, snr_db
 from ..methods import ARConfig, ar_restore_gap
+from ..methods.ar import ar_restore_gap_detailed
 from ..methods.gp import GPConfig, gp_restore
 from ..methods.nmf import NMFConfig, nmf_inpaint_iterative
 from ..ops import scipy_stft_config, stft, istft
@@ -46,22 +49,31 @@ def run_part0(input_file: str, assets_dir: str = "demo_assets",
     corrupted[gs:ge] = 0.0
     results: dict = {"gap": (gs, ge), "sr": sr}
 
+    t_axis = np.arange(n, dtype=np.float32) / sr
+
     # --- GP (main1_gp.py) ---
     t0 = time.time()
-    gp_out, _sigma = gp_restore(signal, mask, sr, gp_cfg or GPConfig(), key=seed)
+    gp_out, sigma = gp_restore(signal, mask, sr, gp_cfg or GPConfig(), key=seed)
     _metrics("gp", signal, gp_out, gs, ge, t0, results)
     write_artifacts(corrupted, sr, assets_dir, "part0", "gp_corrupted")
     write_artifacts(gp_out, sr, assets_dir, "part0", "gp")
     write_artifacts(signal, sr, assets_dir, "part0", "gp_original")
+    gp_waveform_viz(t_axis, signal, gp_out, sigma, (gs, ge),
+                    os.path.join(assets_dir, "part0", "gp_waveform_viz.png"))
 
     # --- Bidirectional AR, order 30, no texture (main2_AR.py) ---
     t0 = time.time()
     cfg = ARConfig(order=30, alpha=0.1, texture=False, context_len=max(gs, n - ge))
-    ar_out = np.asarray(ar_restore_gap(jnp.asarray(corrupted), (gs, ge), cfg, key=seed))
+    ar_j, fwd, bwd = ar_restore_gap_detailed(jnp.asarray(corrupted), (gs, ge),
+                                             cfg, key=seed)
+    ar_out = np.asarray(ar_j)
     _metrics("ar", signal, ar_out, gs, ge, t0, results)
     write_artifacts(corrupted, sr, assets_dir, "part0", "ar_corrupted")
     write_artifacts(ar_out, sr, assets_dir, "part0", "ar")
     write_artifacts(signal, sr, assets_dir, "part0", "ar_original")
+    ar_waveform_viz(t_axis, signal, ar_out, fwd, bwd, (gs, ge),
+                    os.path.join(assets_dir, "part0", "ar_waveform_viz.png"),
+                    order=30)
 
     # --- AR + texture injection (main3_AR_text.py) ---
     t0 = time.time()
@@ -103,5 +115,8 @@ def run_part0(input_file: str, assets_dir: str = "demo_assets",
     write_artifacts(nmf_corr, sr, assets_dir, "part0", "nmf_corrupted")
     write_artifacts(final, sr, assets_dir, "part0", "nmf")
     write_artifacts(signal, sr, assets_dir, "part0", "nmf_original")
+    restored_mag = jnp.abs(stft(jnp.asarray(final), scfg))
+    nmf_waveform_viz(signal, final, (gs, ge), sr, restored_mag,
+                     os.path.join(assets_dir, "part0", "nmf_waveform_viz.png"))
 
     return results

@@ -107,7 +107,7 @@ def run_part1(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
 
     # --- 5. U-Net self-supervised inpainting ----------------------------
     t0 = time.time()
-    final_norm, _pred, losses = unet_train_restore(
+    final_norm, pred, losses = unet_train_restore(
         mag_norm, mask[0:mag.shape[0]],
         UNetTrainConfig(epochs=unet_epochs, masked_loss=True), key=seed)
     unet = np.asarray(istft(polar(jnp.asarray(final_norm) * mag_max, phase),
@@ -115,5 +115,11 @@ def run_part1(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     _metrics("unet", data, unet, t0, results)
     results["unet"]["final_loss"] = float(losses[-1])
     write_artifacts(unet, sr, assets_dir, "part1", "unet", clip=0.99)
+    from ..io.viz import unet_panels_viz
+    import os as _os
+
+    unet_panels_viz(np.asarray(input_mag), np.asarray(pred), np.asarray(mag_norm),
+                    _os.path.join(assets_dir, "part1",
+                                  "spectrogram_comparison.png"))
 
     return results
