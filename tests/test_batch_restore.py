@@ -1,0 +1,32 @@
+"""Multi-clip batched U-Net restoration on the 8-device mesh."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_inpainting_tpu.methods.neural import UNetTrainConfig
+from audio_inpainting_tpu.parallel import make_mesh
+from audio_inpainting_tpu.parallel.batch import restore_clips_unet
+
+
+def test_batch_restore_8_clips_dp_sharded():
+    rng = np.random.RandomState(0)
+    B, F, T = 8, 32, 48
+    a = np.abs(rng.randn(B, 4, 1)) ; b = np.abs(rng.randn(B, 1, T))
+    mags = np.einsum("bfo,bot->bft", np.abs(rng.randn(B, F, 4)), np.abs(rng.randn(B, 4, T)))
+    mags = (mags / mags.max(axis=(1, 2), keepdims=True)).astype(np.float32)[..., None]
+    masks = np.ones_like(mags)
+    masks[:, :, 20:30, :] = 0.0
+
+    mesh = make_mesh()
+    cfg = UNetTrainConfig(epochs=120, scan_chunk=60)
+    out, losses = restore_clips_unet(mags, masks, cfg, mesh=mesh, key=0)
+    out = np.asarray(out)
+    assert out.shape == mags.shape
+    assert np.isfinite(out).all()
+    # kept regions equal input, per clip
+    np.testing.assert_allclose(out[:, :, :20], mags[:, :, :20], atol=1e-6)
+    # masked region closer to target than the zero input, for most clips
+    err = np.sqrt((((out - mags)[:, :, 20:30]) ** 2).sum(axis=(1, 2, 3)))
+    base = np.sqrt((mags[:, :, 20:30] ** 2).sum(axis=(1, 2, 3)))
+    assert (err < 0.7 * base).mean() >= 0.75, (err / base)
+    assert losses.shape == (8,)
