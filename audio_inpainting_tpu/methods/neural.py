@@ -36,6 +36,7 @@ class UNetTrainConfig:
     lr: float = 1e-3
     masked_loss: bool = True   # True: MSE on masked region only (mask variant)
     scan_chunk: int = 100      # epochs per device program (axon watchdog)
+    bf16: bool = False         # bf16 conv compute (params/loss stay f32)
 
 
 @dataclass(frozen=True)
@@ -47,6 +48,11 @@ class GANTrainConfig:
     l1_weight: float = 0.99
     adv_weight: float = 0.01
     scan_chunk: int = 100
+    bf16: bool = False         # bf16 conv compute (params/loss stay f32)
+
+
+def _dtype(cfg) -> jnp.dtype:
+    return jnp.bfloat16 if cfg.bf16 else jnp.float32
 
 
 def _nhwc(x2d: jax.Array) -> jax.Array:
@@ -66,7 +72,7 @@ def _pad4(x2d: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
                    donate_argnums=(0, 1))
 def _unet_train_chunk(params, opt_state, inp, tgt, mask, cfg: UNetTrainConfig,
                       n_epochs: int):
-    model = SimpleUNet()
+    model = SimpleUNet(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr)
     inv = 1.0 - mask
 
@@ -104,7 +110,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     tgt = _nhwc(tgt2d)
     msk = _nhwc(msk2d)
 
-    model = SimpleUNet()
+    model = SimpleUNet(dtype=_dtype(cfg))
     params = model.init(key, inp)["params"]
     opt_state = optax.adam(cfg.lr).init(params)
 
@@ -117,7 +123,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
         losses.append(ls)
         done += n
 
-    pred = SimpleUNet().apply({"params": params}, inp)[0, :, :, 0]
+    pred = SimpleUNet(dtype=_dtype(cfg)).apply({"params": params}, inp)[0, :, :, 0]
     input_mag = tgt2d * msk2d
     final = input_mag + pred * (1.0 - msk2d)       # composite (reference :182)
     return final[:f0, :t0], pred[:f0, :t0], jnp.concatenate(losses)
@@ -130,8 +136,8 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
                    donate_argnums=(0,))
 def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
                      n_epochs: int):
-    g_model = GeneratorUNet()
-    d_model = Discriminator()
+    g_model = GeneratorUNet(dtype=_dtype(cfg))
+    d_model = Discriminator(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     inv = 1.0 - mask
     bce = lambda p, t: -jnp.mean(t * jnp.log(p + 1e-8) + (1 - t) * jnp.log(1 - p + 1e-8))
@@ -199,7 +205,8 @@ def gan_train_restore(input_norm, real_norm, mask,
     inp, real, msk = _nhwc(inp2d), _nhwc(real2d), _nhwc(msk2d)
 
     kg, kd = jax.random.split(key)
-    g_model, d_model = GeneratorUNet(), Discriminator()
+    g_model = GeneratorUNet(dtype=_dtype(cfg))
+    d_model = Discriminator(dtype=_dtype(cfg))
     g_vars = g_model.init(kg, inp, True)
     d_vars = d_model.init(kd, inp, True)
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
@@ -217,6 +224,7 @@ def gan_train_restore(input_norm, real_norm, mask,
 
     gp, gbs = state[0], state[1]
     # final inference in eval mode (running batch stats), reference :150-153
-    fake = GeneratorUNet().apply({"params": gp, "batch_stats": gbs}, inp, False)
+    fake = GeneratorUNet(dtype=_dtype(cfg)).apply(
+        {"params": gp, "batch_stats": gbs}, inp, False)
     final = inp * msk + fake * (1.0 - msk)
     return final[0, :f0, :t0, 0], (jnp.concatenate(d_hist), jnp.concatenate(g_hist))

@@ -26,25 +26,29 @@ import jax.numpy as jnp
 
 class ConvBlock(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         return nn.relu(x)
 
 
 class BNLeakyConvBlock(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         return nn.leaky_relu(x, 0.2)
 
 
@@ -52,50 +56,67 @@ def _pool(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
-def _up(features):
-    return nn.ConvTranspose(features, (2, 2), strides=(2, 2))
+def _up(features, dtype=jnp.float32):
+    return nn.ConvTranspose(features, (2, 2), strides=(2, 2), dtype=dtype)
 
 
 class SimpleUNet(nn.Module):
-    """(N, F, T, 1) -> (N, F, T, 1); F, T must be multiples of 4."""
+    """(N, F, T, 1) -> (N, F, T, 1); F, T must be multiples of 4.
+
+    ``dtype=jnp.bfloat16`` runs convs on the MXU's bf16 path (params and
+    the final output stay f32)."""
+
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        e1 = ConvBlock(16)(x)
-        e2 = ConvBlock(32)(_pool(e1))
-        b = ConvBlock(64)(_pool(e2))
-        d2 = ConvBlock(32)(jnp.concatenate([e2, _up(32)(b)], axis=-1))
-        d1 = ConvBlock(16)(jnp.concatenate([e1, _up(16)(d2)], axis=-1))
-        return nn.Conv(1, (1, 1))(d1)
+        dt = self.dtype
+        e1 = ConvBlock(16, dt)(x)
+        e2 = ConvBlock(32, dt)(_pool(e1))
+        b = ConvBlock(64, dt)(_pool(e2))
+        d2 = ConvBlock(32, dt)(jnp.concatenate([e2, _up(32, dt)(b)], axis=-1))
+        d1 = ConvBlock(16, dt)(jnp.concatenate([e1, _up(16, dt)(d2)], axis=-1))
+        return nn.Conv(1, (1, 1))(d1.astype(jnp.float32))
 
 
 class GeneratorUNet(nn.Module):
     """GAN generator: SimpleUNet topology + BatchNorm/LeakyReLU + tanh."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = True):
-        e1 = BNLeakyConvBlock(16)(x, train)
-        e2 = BNLeakyConvBlock(32)(_pool(e1), train)
-        b = BNLeakyConvBlock(64)(_pool(e2), train)
-        d2 = BNLeakyConvBlock(32)(jnp.concatenate([e2, _up(32)(b)], axis=-1), train)
-        d1 = BNLeakyConvBlock(16)(jnp.concatenate([e1, _up(16)(d2)], axis=-1), train)
-        return jnp.tanh(nn.Conv(1, (1, 1))(d1))
+        dt = self.dtype
+        e1 = BNLeakyConvBlock(16, dt)(x, train)
+        e2 = BNLeakyConvBlock(32, dt)(_pool(e1), train)
+        b = BNLeakyConvBlock(64, dt)(_pool(e2), train)
+        d2 = BNLeakyConvBlock(32, dt)(
+            jnp.concatenate([e2, _up(32, dt)(b)], axis=-1), train)
+        d1 = BNLeakyConvBlock(16, dt)(
+            jnp.concatenate([e1, _up(16, dt)(d2)], axis=-1), train)
+        return jnp.tanh(nn.Conv(1, (1, 1))(d1.astype(jnp.float32)))
 
 
 class Discriminator(nn.Module):
     """Strided-conv PatchGAN-style discriminator with sigmoid output."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(16, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        dt = self.dtype
+        x = nn.Conv(16, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=dt)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(32, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(32, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=dt)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dt)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=dt)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dt)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(x)
+        x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(x.astype(jnp.float32))
         return nn.sigmoid(x)
 
 
