@@ -41,6 +41,10 @@ class GPConfig:
     n_restarts: int = 5
     opt_steps: int = 60
     max_linesearch_steps: int = 6
+    # Fit hyperparameters on every k-th training sample (posterior still uses
+    # all samples). Each MLL eval is O(n^3): fit_subsample=2 cuts the fit 8x
+    # with negligible effect on the 5 learned kernel parameters.
+    fit_subsample: int = 1
     jitter: float = 1e-10
 
 
@@ -189,7 +193,8 @@ def gp_fit_predict(x_train, y_train, x_test, cfg: GPConfig = GPConfig(),
     y_mean = jnp.mean(y_train)
     y_std = jnp.maximum(jnp.std(y_train), 1e-12)
     y_n = (y_train - y_mean) / y_std
-    theta = _fit(x_train, y_n, cfg, key)
+    k = max(1, int(cfg.fit_subsample))
+    theta = _fit(x_train[::k], y_n[::k], cfg, key)
     mu, std = _predict(theta, x_train, y_n, x_test, cfg)
     return mu * y_std + y_mean, std * y_std, theta
 

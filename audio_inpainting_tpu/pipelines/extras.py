@@ -76,7 +76,7 @@ def run_unet_gap(input_file: str, assets_dir: str = "demo_assets",
 
     t0 = time.time()
     final_norm, _pred, losses = unet_train_restore(
-        mag_norm, mask, UNetTrainConfig(epochs=epochs, masked_loss=False),
+        mag_norm, mask, UNetTrainConfig(epochs=epochs, masked_loss=False, bf16=True),
         key=seed)
     restored = np.asarray(istft(polar(jnp.asarray(final_norm) * mag_max, phase),
                                 _CFG, n))

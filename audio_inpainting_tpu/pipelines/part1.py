@@ -109,7 +109,8 @@ def run_part1(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     t0 = time.time()
     final_norm, pred, losses = unet_train_restore(
         mag_norm, mask[0:mag.shape[0]],
-        UNetTrainConfig(epochs=unet_epochs, masked_loss=True), key=seed)
+        UNetTrainConfig(epochs=unet_epochs, masked_loss=True, bf16=True),
+        key=seed)
     unet = np.asarray(istft(polar(jnp.asarray(final_norm) * mag_max, phase),
                             _CFG, n))
     _metrics("unet", data, unet, t0, results)
