@@ -21,3 +21,7 @@ Layering (SURVEY.md §1, made explicit):
 """
 
 __version__ = "0.1.0"
+
+from .api import restore  # noqa: E402  (uniform L3 contract)
+
+__all__ = ["restore"]

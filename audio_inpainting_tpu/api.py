@@ -1,0 +1,129 @@
+"""Uniform restoration API — the reference's implicit L3 contract made real.
+
+Every reference method follows ``restore(corrupted) -> restored`` (same
+length, same sr) with method-specific detection/config (SURVEY.md §1 L3).
+This facade exposes that contract directly:
+
+    from audio_inpainting_tpu import restore
+    fixed = restore(damaged, sr, method="ar")        # blind detection
+    fixed = restore(damaged, sr, method="nmf", gaps=[(s, e)])
+
+Methods: linear | ar | nmf | gp | unet | gan | diffusion.
+Blind damage detection (threshold scans, SURVEY L2) runs when ``gaps`` /
+``mask`` are not supplied. GP is only sensible on short segments (the
+reference restricts it to 0.05 s windows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
+            threshold: float = 1e-4, seed: int = 0, original=None,
+            **cfg_kwargs) -> np.ndarray:
+    """Restore a damaged mono float32 signal in [-1, 1]. Returns same length.
+
+    gaps: optional [(start, end)] damaged spans; detected by threshold scan
+    when omitted. mask: optional bool array (True = valid sample),
+    alternative to gaps for linear/gp. original: clean reference, only used
+    by the GAN method (the reference trains its GAN against the ground
+    truth, main_gan_gap.py:103-108).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .corrupt import find_gaps, silent_frame_columns
+    from .ops import torch_stft_config, stft, istft
+    from .ops.stft import magphase, polar
+
+    damaged = np.asarray(damaged, np.float32)
+    n = len(damaged)
+
+    def _mask():
+        if mask is not None:
+            return np.asarray(mask, bool)
+        return np.abs(damaged) > threshold
+
+    def _gaps():
+        if gaps is not None:
+            return list(gaps)
+        return find_gaps(damaged, threshold=max(threshold, 0.01), min_len=100)
+
+    if method == "linear":
+        from .methods import linear_interp_masked
+
+        return np.asarray(linear_interp_masked(jnp.asarray(damaged),
+                                               jnp.asarray(_mask())))
+
+    if method == "ar":
+        from .methods import ARConfig, ar_restore_gaps
+
+        g = _gaps()
+        cfg = ARConfig(**{"order": 30, "alpha": 0.5, "texture": True,
+                          "context_len": 1000, "passes": 2, **cfg_kwargs})
+        return np.asarray(ar_restore_gaps(jnp.asarray(damaged), g, cfg,
+                                          key=jax.random.PRNGKey(seed)))
+
+    if method == "gp":
+        from .methods.gp import GPConfig, gp_restore
+
+        out, _ = gp_restore(damaged, _mask(), sr,
+                            GPConfig(**cfg_kwargs), key=seed)
+        return np.asarray(out)
+
+    scfg = torch_stft_config(1024, 256)
+    z = stft(jnp.asarray(damaged), scfg)
+    mag, phase = magphase(z)
+
+    if method == "nmf":
+        from .methods.nmf import NMFConfig, nmf_inpaint_columns
+
+        bad = np.zeros(mag.shape[1], bool)
+        bad[silent_frame_columns(damaged, mag.shape[1], 256,
+                                 threshold=threshold, silent_fraction=0.8)] = True
+        out_mag = nmf_inpaint_columns(mag, jnp.asarray(bad),
+                                      NMFConfig(**cfg_kwargs),
+                                      jax.random.PRNGKey(seed))
+        return np.asarray(istft(polar(out_mag, phase), scfg, n))
+
+    if method == "unet":
+        from .corrupt import silence_mask
+        from .methods.neural import UNetTrainConfig, unet_train_restore
+
+        mag_max = jnp.max(mag)
+        mag_norm = mag / mag_max
+        # frame-level keep mask from the signal's silent columns
+        bad = np.zeros(mag.shape[1], bool)
+        bad[silent_frame_columns(damaged, mag.shape[1], 256,
+                                 threshold=max(threshold, 0.01),
+                                 silent_fraction=0.8)] = True
+        keep = jnp.broadcast_to(jnp.asarray(~bad, jnp.float32)[None, :], mag.shape)
+        final, _, _ = unet_train_restore(mag_norm, keep,
+                                         UNetTrainConfig(**cfg_kwargs), key=seed)
+        return np.asarray(istft(polar(jnp.asarray(final) * mag_max, phase),
+                                scfg, n))
+
+    if method == "gan":
+        from .methods.neural import GANTrainConfig, gan_train_restore
+
+        mag_min, mag_max = jnp.min(mag), jnp.max(mag)
+        norm = (mag - mag_min) / (mag_max - mag_min) * 2.0 - 1.0
+        keep = (norm > -0.95).astype(jnp.float32)
+        if original is not None:
+            z_real = stft(jnp.asarray(np.asarray(original, np.float32)[:n]), scfg)
+            real = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
+        else:
+            real = norm  # self-supervised fallback when no ground truth
+        final, _ = gan_train_restore(norm, real, keep,
+                                     GANTrainConfig(**cfg_kwargs), key=seed)
+        final_mag = (jnp.asarray(final) + 1.0) / 2.0 * (mag_max - mag_min) + mag_min
+        return np.asarray(istft(polar(final_mag, phase), scfg, n))
+
+    if method == "diffusion":
+        from .methods.diffusion import DiffusionConfig, diffusion_restore_audio
+
+        return diffusion_restore_audio(damaged, sr,
+                                       DiffusionConfig(**cfg_kwargs), key=seed)
+
+    raise ValueError(f"unknown method {method!r}")

@@ -1,0 +1,69 @@
+"""Uniform restore() facade: every method through one entry point."""
+
+import numpy as np
+import pytest
+
+from audio_inpainting_tpu import restore
+
+
+@pytest.fixture(scope="module")
+def damaged_clip():
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = (0.6 * np.sin(2 * np.pi * 220 * t)
+         + 0.25 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    d = x.copy()
+    d[3000:3400] = 0.0
+    d[9000:9200] = 0.0
+    return sr, x, d
+
+
+def test_restore_linear(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="linear")
+    assert out.shape == d.shape and np.isfinite(out).all()
+    assert np.abs(out[3000:3400]).max() > 0  # filled
+
+
+def test_restore_ar(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="ar", seed=0)
+    assert out.shape == d.shape and np.isfinite(out).all()
+    # better than the zeros in the gap
+    err_out = np.abs(out[3000:3400] - x[3000:3400]).mean()
+    err_zero = np.abs(x[3000:3400]).mean()
+    assert err_out < err_zero
+
+
+def test_restore_nmf(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="nmf", n_components=10, n_iter=50)
+    assert out.shape == d.shape and np.isfinite(out).all()
+
+
+def test_restore_gp_short_segment():
+    sr = 8000
+    t = np.arange(400) / sr
+    x = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    d = x.copy()
+    d[150:220] = 0.0
+    out = restore(d, sr, method="gp", n_restarts=1, opt_steps=20)
+    assert out.shape == d.shape and np.isfinite(out).all()
+
+
+def test_restore_unet(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="unet", epochs=30, bf16=False)
+    assert out.shape == d.shape and np.isfinite(out).all()
+
+
+def test_restore_gan_self_supervised(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="gan", epochs=20)
+    assert out.shape == d.shape and np.isfinite(out).all()
+
+
+def test_restore_unknown_method(damaged_clip):
+    sr, x, d = damaged_clip
+    with pytest.raises(ValueError):
+        restore(d, sr, method="nope")
