@@ -177,6 +177,54 @@ def _ddim_repaint(params, img, keep, key, cfg: DiffusionConfig):
     return out[0, :, :, 0]
 
 
+def train_spectrogram_ddpm(images_u8: list[np.ndarray] | np.ndarray,
+                           cfg: DiffusionConfig = DiffusionConfig(),
+                           key: jax.Array | int = 0,
+                           checkpoint_dir: str | None = None):
+    """Pretrain the spectrogram DDPM on a corpus of clean log-spec images.
+
+    The reference's diffusion method relies on hub-downloaded riffusion
+    weights (main_diffusion_gap.py:16-19) — impossible in a zero-egress
+    image. This is the framework-native equivalent: train the DiffusionUNet
+    on many clips' spectrogram images once, persist with utils.checkpoint,
+    and pass the params to diffusion_inpaint_image / diffusion_restore_audio
+    to skip per-clip training at inference.
+
+    images_u8: list of (H, W) uint8 spectrogram images (heights may differ;
+    each must be >= cfg.patch in both dims). Returns trained params.
+    """
+    import optax
+
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    k_init, k_train = jax.random.split(key)
+    model = DiffusionUNet(base=cfg.base_channels)
+    params = model.init(k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
+                        jnp.zeros((1,)))["params"]
+    opt_state = optax.adam(cfg.lr).init(params)
+
+    imgs = [jnp.asarray(np.asarray(im), jnp.float32) / 127.5 - 1.0
+            for im in images_u8]
+    keeps = [jnp.ones_like(im) for im in imgs]
+
+    done = 0
+    i = 0
+    while done < cfg.train_steps:
+        n = min(cfg.scan_chunk, cfg.train_steps - done)
+        img = imgs[i % len(imgs)]
+        params, opt_state, _ = _train_chunk(
+            params, opt_state, img, keeps[i % len(imgs)],
+            jax.random.fold_in(k_train, done), cfg, n)
+        done += n
+        i += 1
+
+    if checkpoint_dir:
+        from ..utils.checkpoint import save_params
+
+        save_params(params, checkpoint_dir)
+    return params
+
+
 def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
                             cfg: DiffusionConfig = DiffusionConfig(),
                             key: jax.Array | int = 0,
