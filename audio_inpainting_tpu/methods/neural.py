@@ -145,12 +145,20 @@ def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
     def epoch(carry, _):
         gp, gbs, gst, dp, dbs, dst = carry
 
-        # --- D step (fake composited, detached generator) ---
-        fake, g_updates = g_model.apply(
-            {"params": gp, "batch_stats": gbs}, inp, True,
-            mutable=["batch_stats"])
+        # ONE generator forward per epoch, like the reference
+        # (main_gan_gap.py:130 computes `fake` once; both the D step and the
+        # G step reuse it). jax.vjp keeps the residuals so the G backward
+        # below pulls gradients through this same forward.
+        def g_apply(gpar):
+            fake, upd = g_model.apply(
+                {"params": gpar, "batch_stats": gbs}, inp, True,
+                mutable=["batch_stats"])
+            return fake, upd["batch_stats"]
+
+        (fake, gbs_new), g_vjp = jax.vjp(g_apply, gp)
         completed = inp * mask + fake * inv
 
+        # --- D step on [real | composited fake (detached)] ---
         def d_loss_fn(dpar, dbs_in):
             out_real, upd1 = d_model.apply(
                 {"params": dpar, "batch_stats": dbs_in}, real, True,
@@ -162,25 +170,28 @@ def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
                           + bce(out_fake, jnp.zeros_like(out_fake)))
             return loss, upd2["batch_stats"]
 
-        (d_loss, dbs_new), d_grad = jax.value_and_grad(
+        (d_loss, dbs_mid), d_grad = jax.value_and_grad(
             d_loss_fn, has_aux=True)(dp, dbs)
         d_upd, dst = tx.update(d_grad, dst, dp)
         dp = optax.apply_updates(dp, d_upd)
 
-        # --- G step (through updated D params, reference order) ---
-        def g_loss_fn(gpar, gbs_in):
-            fake_g, upd = g_model.apply(
-                {"params": gpar, "batch_stats": gbs_in}, inp, True,
+        # --- G step: grad wrt `fake` through the UPDATED D (reference
+        # order: optimizerD.step() precedes netD(completed) at :140),
+        # pulled back through the stored G forward ---
+        def g_downstream(fake_):
+            completed_ = inp * mask + fake_ * inv
+            out_fake_g, upd3 = d_model.apply(
+                {"params": dp, "batch_stats": dbs_mid}, completed_, True,
                 mutable=["batch_stats"])
-            completed_g = inp * mask + fake_g * inv
-            out_fake_g = d_model.apply(
-                {"params": dp, "batch_stats": dbs_new}, completed_g, False)
             adv = bce(out_fake_g, jnp.ones_like(out_fake_g))
-            rec = jnp.mean(jnp.abs(fake_g * inv - real * inv))
-            return cfg.l1_weight * rec + cfg.adv_weight * adv, upd["batch_stats"]
+            rec = jnp.mean(jnp.abs(fake_ * inv - real * inv))
+            return (cfg.l1_weight * rec + cfg.adv_weight * adv,
+                    upd3["batch_stats"])
 
-        (g_loss, gbs_new), g_grad = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(gp, g_updates["batch_stats"])
+        (g_loss, dbs_new), fake_grad = jax.value_and_grad(
+            g_downstream, has_aux=True)(fake)
+        (g_grad,) = g_vjp((fake_grad, jax.tree_util.tree_map(
+            jnp.zeros_like, gbs_new)))
         g_upd, gst = tx.update(g_grad, gst, gp)
         gp = optax.apply_updates(gp, g_upd)
 
