@@ -49,6 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--gan-epochs", type=int, default=1500)
     pa.add_argument("--diffusion-steps", type=int, default=1500)
 
+    pr = sub.add_parser("restore", help="restore one WAV with any method")
+    pr.add_argument("input_wav")
+    pr.add_argument("output_wav")
+    pr.add_argument("--method", default="ar",
+                    choices=["linear", "ar", "nmf", "gp", "unet", "gan",
+                             "diffusion"])
+    pr.add_argument("--threshold", type=float, default=1e-4,
+                    help="damage-detection amplitude threshold")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--original", default=None,
+                    help="clean reference WAV (GAN method only)")
+
     pu = sub.add_parser("unet-gap", help="main5_UNet_gap overfit demo variant")
     _add_common(pu)
     pu.add_argument("--epochs", type=int, default=600)
@@ -104,6 +116,21 @@ def main(argv=None) -> int:
         return 0
 
     t_start = time.time()
+    if args.cmd == "restore":
+        from ..api import restore as api_restore
+        from ..io import load_mono_normalized, save_wav_int16
+
+        sr, damaged = load_mono_normalized(args.input_wav)
+        original = None
+        if args.original:
+            _, original = load_mono_normalized(args.original)
+        out = api_restore(damaged, sr, method=args.method,
+                          threshold=args.threshold, seed=args.seed,
+                          original=original)
+        save_wav_int16(out, sr, args.output_wav)
+        print(f"restored {args.input_wav} -> {args.output_wav} "
+              f"({args.method}, {time.time() - t_start:.1f}s)")
+        return 0
     if args.cmd == "unet-gap":
         from ..pipelines.extras import run_unet_gap
 

@@ -49,7 +49,10 @@ class GPConfig:
     # overfitting the observed fine structure. k=1 reproduces sklearn's
     # setup exactly.
     fit_subsample: int = 2
-    jitter: float = 1e-10
+    # diagonal regularizer: sklearn uses alpha=1e-10 in f64; f32 Cholesky
+    # needs a larger floor or near-bound hyperparameters (noise -> 1e-5,
+    # length scale at its cap) produce a singular factor and NaN posteriors
+    jitter: float = 1e-6
 
 
 def _bounds(cfg: GPConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -78,8 +81,12 @@ def _kernel(theta: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 
 def _neg_mll(theta: jax.Array, x: jax.Array, y: jax.Array, jitter: float) -> jax.Array:
     n = x.shape[0]
+    c = jnp.exp(theta)[0]
     noise = jnp.exp(theta)[4]
-    k = _kernel(theta, x, x) + (noise + jitter) * jnp.eye(n)
+    # jitter scales with the kernel amplitude: f32 Cholesky fails once the
+    # condition number (~c/noise) passes ~1e7, and the optimizer is free to
+    # push c to 1e5 with noise at 1e-5
+    k = _kernel(theta, x, x) + (noise + jitter * (1.0 + c)) * jnp.eye(n)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
@@ -170,7 +177,8 @@ def _predict(theta: jax.Array, x: jax.Array, y: jax.Array, x_star: jax.Array,
              cfg: GPConfig) -> tuple[jax.Array, jax.Array]:
     n = x.shape[0]
     noise = jnp.exp(theta)[4]
-    k = _kernel(theta, x, x) + (noise + cfg.jitter) * jnp.eye(n)
+    c = jnp.exp(theta)[0]
+    k = _kernel(theta, x, x) + (noise + cfg.jitter * (1.0 + c)) * jnp.eye(n)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
     k_star = _kernel(theta, x_star, x)               # (m, n)
