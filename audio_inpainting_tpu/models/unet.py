@@ -23,6 +23,29 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.fastconv import conv3x3_same
+
+
+class Conv3x3(nn.Module):
+    """3x3 SAME conv backed by ops.fastconv's MXU-friendly custom VJP.
+
+    Parameter layout matches nn.Conv ('kernel' HWIO + 'bias'), so checkpoints
+    are interchangeable with the stock module.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = conv3x3_same(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
 
 class ConvBlock(nn.Module):
     features: int
@@ -30,9 +53,9 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv3x3(self.features, self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv3x3(self.features, self.dtype)(x)
         return nn.relu(x)
 
 
@@ -42,11 +65,11 @@ class BNLeakyConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv3x3(self.features, self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = Conv3x3(self.features, self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         return nn.leaky_relu(x, 0.2)
