@@ -17,6 +17,23 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.fastconv import conv3x3_same
+
+
+class _FastConv3x3(nn.Module):
+    features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        k = self.param("kernel", init, (3, 3, x.shape[-1], self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return conv3x3_same(x, k) + b
+
 
 def timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
     """Sinusoidal embedding; t float (B,) in [0, 1000)."""
@@ -33,11 +50,11 @@ class ResBlock(nn.Module):
     def __call__(self, x, temb):
         h = nn.GroupNorm(num_groups=8)(x)
         h = nn.silu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
+        h = _FastConv3x3(self.features)(h)
         h = h + nn.Dense(self.features)(nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=8)(h)
         h = nn.silu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
+        h = _FastConv3x3(self.features)(h)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1))(x)
         return x + h
@@ -53,7 +70,7 @@ class DiffusionUNet(nn.Module):
         temb = nn.Dense(self.temb_dim)(nn.silu(nn.Dense(self.temb_dim)(temb)))
 
         c1, c2, c3 = self.base, self.base * 2, self.base * 4
-        h1 = ResBlock(c1)(nn.Conv(c1, (3, 3), padding="SAME")(x), temb)
+        h1 = ResBlock(c1)(_FastConv3x3(c1)(x), temb)
         d1 = nn.Conv(c2, (3, 3), strides=(2, 2), padding="SAME")(h1)
         h2 = ResBlock(c2)(d1, temb)
         d2 = nn.Conv(c3, (3, 3), strides=(2, 2), padding="SAME")(h2)
@@ -63,5 +80,4 @@ class DiffusionUNet(nn.Module):
         u1 = nn.ConvTranspose(c1, (2, 2), strides=(2, 2))(h2u)
         h1u = ResBlock(c1)(jnp.concatenate([u1, h1], axis=-1), temb)
         out = nn.GroupNorm(num_groups=8)(h1u)
-        return nn.Conv(x.shape[-1], (3, 3), padding="SAME",
-                       kernel_init=nn.initializers.zeros)(nn.silu(out))
+        return _FastConv3x3(x.shape[-1], zero_init=True)(nn.silu(out))
