@@ -140,7 +140,13 @@ def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
     d_model = Discriminator(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     inv = 1.0 - mask
-    bce = lambda p, t: -jnp.mean(t * jnp.log(p + 1e-8) + (1 - t) * jnp.log(1 - p + 1e-8))
+
+    # BCE from logits (the Discriminator returns logits): identical value to
+    # sigmoid+BCE but saturation-stable — torch's BCELoss clamps logs at
+    # -100 to survive this; the naive jnp formulation NaNs mid-training
+    def bce(logits, t):
+        return jnp.mean(jnp.maximum(logits, 0.0) - logits * t
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
     def epoch(carry, _):
         gp, gbs, gst, dp, dbs, dst = carry

@@ -65,13 +65,15 @@ class BNLeakyConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # BatchNorm always reduces in f32: bf16 batch statistics destabilize
+        # the adversarial loop (observed NaN around epoch ~1000)
         x = Conv3x3(self.features, self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
+                         dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.leaky_relu(x, 0.2)
         x = Conv3x3(self.features, self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
+                         dtype=jnp.float32)(x.astype(jnp.float32))
         return nn.leaky_relu(x, 0.2)
 
 
@@ -121,7 +123,14 @@ class GeneratorUNet(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """Strided-conv PatchGAN-style discriminator with sigmoid output."""
+    """Strided-conv PatchGAN-style discriminator.
+
+    Returns LOGITS; apply sigmoid for probabilities. The reference's
+    Sigmoid+BCELoss pairing (main_gan_gap.py:67, 120) survives saturation
+    only because torch clamps log outputs at -100; computing BCE from logits
+    is the numerically identical-but-stable formulation (observed NaN at
+    ~epoch 700-1500 otherwise, seed dependent).
+    """
 
     dtype: jnp.dtype = jnp.float32
 
@@ -133,14 +142,16 @@ class Discriminator(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(32, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dt)(x)
-        x = nn.leaky_relu(x, 0.2)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        x = nn.leaky_relu(x, 0.2).astype(dt)
         x = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=dt)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(x.astype(jnp.float32))
-        return nn.sigmoid(x)
+        return nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(
+            x.astype(jnp.float32))
 
 
 def pad_to_multiple(x: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple[int, int]]:

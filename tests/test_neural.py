@@ -39,8 +39,8 @@ def test_generator_discriminator_shapes():
     d = Discriminator()
     dv = d.init(jax.random.PRNGKey(1), x, True)
     z = d.apply(dv, x, True, mutable=["batch_stats"])[0]
-    assert z.ndim == 4 and z.shape[-1] == 1
-    assert 0.0 <= float(z.min()) and float(z.max()) <= 1.0  # sigmoid
+    assert z.ndim == 4 and z.shape[-1] == 1  # logits (sigmoid applied in loss)
+    assert np.isfinite(np.asarray(z)).all()
 
 
 def test_unet_inpaints_masked_region():
