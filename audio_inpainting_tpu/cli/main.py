@@ -56,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["linear", "ar", "nmf", "gp", "unet", "gan",
                              "diffusion"])
     pr.add_argument("--threshold", type=float, default=1e-4,
-                    help="damage-detection amplitude threshold")
+                    help="damage-detection amplitude threshold; note that "
+                         "naturally quiet passages below it are treated as "
+                         "damage and rewritten (reference semantics)")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--original", default=None,
                     help="clean reference WAV (GAN method only)")
