@@ -88,7 +88,6 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         return np.asarray(istft(polar(out_mag, phase), scfg, n))
 
     if method == "unet":
-        from .corrupt import silence_mask
         from .methods.neural import UNetTrainConfig, unet_train_restore
 
         mag_max = jnp.max(mag)

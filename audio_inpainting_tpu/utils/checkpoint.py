@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 import re
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp
