@@ -7,8 +7,10 @@ Reference behavior being matched (see SURVEY.md §2):
 - ``main3_AR_text*.py`` — Ridge(alpha=0.5) + per-step Gaussian "texture"
   noise with sigma = std of training residuals; order 100 / 5000-sample
   contexts for the 2 s gap (main3_AR_text_gap.py), order 30 / 1000-sample
-  contexts for multi-gap (main3_AR_text_mask.py); zero-prediction fallback
-  when a side has < 10 training rows; one-sided crossfade fallbacks.
+  contexts for multi-gap (main3_AR_text_mask.py); zero-prediction +
+  one-sided-crossfade fallback when a side has an empty training set
+  (main3_AR_text_gap.py:102-116 — any non-empty side trains and blends
+  normally, so ``ARConfig.min_rows`` defaults to 1).
 
 TPU-native design (not a translation):
 
@@ -48,7 +50,12 @@ class ARConfig:
     texture: bool = True
     context_len: int = 5000
     passes: int = 1
-    min_rows: int = 10
+    # A side is "valid" when it has >= min_rows training windows; invalid
+    # sides get a zero prediction and the crossfade goes fully one-sided.
+    # The reference's criterion is len(X) == 0 (main3_AR_text_gap.py:115-116,
+    # main3_AR_text_mask.py:99), i.e. min_rows = 1; larger values are an
+    # optional stricter guard beyond reference behavior.
+    min_rows: int = 1
 
 
 def _hankel_indices(context_len: int, order: int) -> np.ndarray:

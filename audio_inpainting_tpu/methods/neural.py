@@ -59,10 +59,20 @@ def _nhwc(x2d: jax.Array) -> jax.Array:
     return x2d[None, :, :, None]
 
 
-def _pad4(x2d: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
+def _pad4(x2d: jax.Array, value: float = 0.0) -> tuple[jax.Array, tuple[int, int]]:
     f, t = x2d.shape
     pf, pt = (-f) % 4, (-t) % 4
-    return jnp.pad(x2d, ((0, pf), (0, pt))), (f, t)
+    return jnp.pad(x2d, ((0, pf), (0, pt)), constant_values=value), (f, t)
+
+
+def _valid4(f: int, t: int) -> jax.Array:
+    """1 over the original (f, t) extent, 0 over the pad-to-4 margin.
+
+    Losses are summed over this and divided by f*t so the pad rows/cols
+    neither enter the loss nor inflate the mean's denominator (the
+    reference's losses are means over the unpadded spectrogram)."""
+    pad = jnp.zeros(((-f) % 4 + f, (-t) % 4 + t), jnp.float32)
+    return pad.at[:f, :t].set(1.0)
 
 
 # ---------------------------------------------------------------- U-Net ----
@@ -70,17 +80,18 @@ def _pad4(x2d: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
                    donate_argnums=(0, 1))
-def _unet_train_chunk(params, opt_state, inp, tgt, mask, cfg: UNetTrainConfig,
-                      n_epochs: int):
+def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
+                      cfg: UNetTrainConfig, n_epochs: int):
     model = SimpleUNet(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr)
-    inv = 1.0 - mask
+    inv = (1.0 - mask) * valid
+    denom = jnp.sum(valid)
 
     def loss_fn(p):
         out = model.apply({"params": p}, inp)
         if cfg.masked_loss:
-            return jnp.mean((out * inv - tgt * inv) ** 2)
-        return jnp.mean((out - tgt) ** 2)
+            return jnp.sum((out * inv - tgt * inv) ** 2) / denom
+        return jnp.sum(((out - tgt) * valid) ** 2) / denom
 
     def epoch(carry, _):
         p, st = carry
@@ -105,10 +116,11 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     mag_norm = jnp.asarray(mag_norm, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
     tgt2d, (f0, t0) = _pad4(mag_norm)
-    msk2d, _ = _pad4(mask)
+    msk2d, _ = _pad4(mask, value=1.0)  # pad = kept, excluded from masked loss
     inp = _nhwc(tgt2d * msk2d)
     tgt = _nhwc(tgt2d)
     msk = _nhwc(msk2d)
+    vld = _nhwc(_valid4(f0, t0))
 
     model = SimpleUNet(dtype=_dtype(cfg))
     params = model.init(key, inp)["params"]
@@ -119,7 +131,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     while done < cfg.epochs:
         n = min(cfg.scan_chunk, cfg.epochs - done)
         params, opt_state, ls = _unet_train_chunk(
-            params, opt_state, inp, tgt, msk, cfg, n)
+            params, opt_state, inp, tgt, msk, vld, cfg, n)
         losses.append(ls)
         done += n
 
@@ -134,12 +146,14 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
                    donate_argnums=(0,))
-def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
+def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
                      n_epochs: int):
     g_model = GeneratorUNet(dtype=_dtype(cfg))
     d_model = Discriminator(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     inv = 1.0 - mask
+    rec_inv = inv * valid        # L1 only over the unpadded extent
+    rec_denom = jnp.sum(valid)
 
     # BCE from logits (the Discriminator returns logits): identical value to
     # sigmoid+BCE but saturation-stable — torch's BCELoss clamps logs at
@@ -190,7 +204,7 @@ def _gan_train_chunk(train_state, inp, real, mask, cfg: GANTrainConfig,
                 {"params": dp, "batch_stats": dbs_mid}, completed_, True,
                 mutable=["batch_stats"])
             adv = bce(out_fake_g, jnp.ones_like(out_fake_g))
-            rec = jnp.mean(jnp.abs(fake_ * inv - real * inv))
+            rec = jnp.sum(jnp.abs(fake_ * rec_inv - real * rec_inv)) / rec_denom
             return (cfg.l1_weight * rec + cfg.adv_weight * adv,
                     upd3["batch_stats"])
 
@@ -218,8 +232,9 @@ def gan_train_restore(input_norm, real_norm, mask,
         key = jax.random.PRNGKey(key)
     inp2d, (f0, t0) = _pad4(jnp.asarray(input_norm, jnp.float32))
     real2d, _ = _pad4(jnp.asarray(real_norm, jnp.float32))
-    msk2d, _ = _pad4(jnp.asarray(mask, jnp.float32))
+    msk2d, _ = _pad4(jnp.asarray(mask, jnp.float32), value=1.0)  # pad = kept
     inp, real, msk = _nhwc(inp2d), _nhwc(real2d), _nhwc(msk2d)
+    vld = _nhwc(_valid4(f0, t0))
 
     kg, kd = jax.random.split(key)
     g_model = GeneratorUNet(dtype=_dtype(cfg))
@@ -234,7 +249,7 @@ def gan_train_restore(input_norm, real_norm, mask,
     done = 0
     while done < cfg.epochs:
         n = min(cfg.scan_chunk, cfg.epochs - done)
-        state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, cfg, n)
+        state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, vld, cfg, n)
         d_hist.append(dl)
         g_hist.append(gl)
         done += n

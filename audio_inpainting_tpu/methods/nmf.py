@@ -100,11 +100,18 @@ def nmf_inpaint_iterative(mag: jax.Array, col_start: int, col_end: int,
     bad = ((cols >= col_start) & (cols < col_end))[None, :]
     avg_spec = jnp.mean(mag[:, :col_start], axis=1, keepdims=True)
     current = jnp.where(bad, avg_spec, mag)
-    # same init every outer iteration, like sklearn with fixed random_state
-    w0, h0 = _init_wh(key, jnp.mean(current), mag.shape, cfg.n_components)
+    # sklearn with fixed random_state draws the SAME |N(0,1)| values every
+    # refit but rescales them by sqrt(mean(V)/k) of the CURRENT matrix
+    # (sklearn.decomposition._nmf._initialize_nmf); draw once, rescale per
+    # outer iteration.
+    k = cfg.n_components
+    kw, kh = jax.random.split(key)
+    w_raw = jnp.abs(jax.random.normal(kw, (mag.shape[0], k)))
+    h_raw = jnp.abs(jax.random.normal(kh, (k, mag.shape[1])))
 
     def outer(_, cur):
-        w, h = _mu_fit(cur, w0, h0, cfg.n_iter)
+        scale = jnp.sqrt(jnp.maximum(jnp.mean(cur), _EPS) / k)
+        w, h = _mu_fit(cur, w_raw * scale, h_raw * scale, cfg.n_iter)
         v_hat = jnp.einsum("fk,kt->ft", w, h, precision=_PREC)
         return jnp.where(bad, v_hat, cur)
 

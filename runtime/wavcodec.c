@@ -87,6 +87,15 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
         return PyErr_Format(PyExc_ValueError, "%s: %s", path, err);
     }
 
+    if (w.bits != 8 && w.bits != 16 && w.bits != 32) {
+        /* reject before bytes_per to avoid a divide-by-zero SIGFPE on
+         * malformed fmt chunks declaring bits_per_sample < 8 */
+        int bits = w.bits, format = w.audio_format;
+        free(buf);
+        return PyErr_Format(PyExc_ValueError,
+                            "%s: unsupported format %d/%d-bit", path,
+                            format, bits);
+    }
     size_t bytes_per = w.bits / 8;
     size_t n_total = w.data_len / bytes_per;
     size_t n_frames = w.n_channels ? n_total / w.n_channels : 0;
@@ -101,7 +110,17 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
     const unsigned char *d = w.data;
     int ch = w.n_channels;
     Py_BEGIN_ALLOW_THREADS
-    if (w.audio_format == 1 && w.bits == 16) {
+    if (w.audio_format == 1 && w.bits == 8) {
+        /* uint8 PCM: raw 0..255 values, matching the numpy fallback
+         * (io/wav.py reads uint8 as-is; the peak-normalize below then
+         * mirrors peak_normalize(to_float_mono(...)) exactly) */
+        const uint8_t *s = (const uint8_t *)d;
+        for (size_t i = 0; i < n_frames; i++) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; c++) acc += s[i * ch + c];
+            mono[i] = (float)(acc / ch);
+        }
+    } else if (w.audio_format == 1 && w.bits == 16) {
         const int16_t *s = (const int16_t *)d;
         for (size_t i = 0; i < n_frames; i++) {
             double acc = 0.0;

@@ -37,6 +37,38 @@ def test_native_write_matches_numpy_quantization(tmp_path):
 
 
 @needs_native
+def test_native_uint8_matches_numpy(tmp_path):
+    # 8-bit PCM: raw 0..255 values mono-mixed then peak-normalized, same as
+    # the numpy fallback (no 128-centering on either path).
+    rng = np.random.RandomState(1)
+    stereo = rng.randint(0, 256, (300, 2)).astype(np.uint8)
+    p = str(tmp_path / "u8.wav")
+    W.write_wav(p, 8000, stereo)
+    sr_n, a = W._NATIVE.load_mono_normalized(p)
+    a = np.frombuffer(a, dtype=np.float32)
+    sr_p, data = W.read_wav(p)
+    b = W.peak_normalize(W.to_float_mono(data))
+    assert sr_n == sr_p == 8000
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@needs_native
+def test_native_rejects_zero_bits(tmp_path):
+    # A malformed fmt chunk declaring bits_per_sample=0 must raise
+    # ValueError, not SIGFPE the process (integer division by zero).
+    import struct
+
+    x = (np.zeros(64) + 100).astype(np.int16)
+    p = str(tmp_path / "bad.wav")
+    W.write_wav(p, 8000, x)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<H", raw, 34, 0)  # bits_per_sample field
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="unsupported format"):
+        W._NATIVE.load_mono_normalized(p)
+
+
+@needs_native
 def test_native_float32_wav(tmp_path):
     x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
     p = str(tmp_path / "f.wav")
