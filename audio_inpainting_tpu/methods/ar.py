@@ -48,6 +48,11 @@ class ARConfig:
     order: int = 100
     alpha: float = 0.5
     texture: bool = True
+    # Multiplier on the residual-sigma texture noise. 1.0 = reference
+    # behavior (main3_AR_text.py:74 injects N(0, noise_std)); values < 1
+    # trade some of the texture's spectral-energy fill (LSD win) for less
+    # uncorrelated noise energy (global SNR win).
+    texture_scale: float = 1.0
     context_len: int = 5000
     passes: int = 1
     # A side is "valid" when it has >= min_rows training windows; invalid
@@ -206,7 +211,8 @@ def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
     max_len = int(np.max(ends - starts))
     ctxs, pads = _extract_contexts(signal, starts_a, ends_a, cfg.context_len)
     w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
-    preds = _extrapolate(ctxs, w, b, std, valid, key, max_len, cfg.texture)
+    preds = _extrapolate(ctxs, w, b, std * cfg.texture_scale, valid, key,
+                         max_len, cfg.texture)
     G = len(starts)
     out = _blend_and_paste(signal, starts_a, lens, preds[:G], preds[G:],
                            valid[:G], valid[G:], max_len)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""A/B experiment for the part-2 GAN quality gap (VERDICT round 1, weak #1).
+
+Reference artifact scores (baseline_cpu.json "part2/fixed_gan_gap"):
+global 2.04 dB / local -0.07 dB / LSD 40.79. Round-1 ours: -6.26 / -5.44.
+
+Variants:
+  bf16      — round-1 pipeline config (GANTrainConfig(bf16=True))
+  f32       — full f32 compute
+  f32-torch — f32 + torch-default initializers (kaiming_uniform a=sqrt(5))
+
+Usage: python tools/gan_ab.py [variant ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_inpainting_tpu.corrupt import center_gap_bounds
+from audio_inpainting_tpu.io import load_mono_normalized
+from audio_inpainting_tpu.io.wav import save_wav_int16
+from audio_inpainting_tpu.metrics import local_snr_db, lsd_db, snr_db
+from audio_inpainting_tpu.methods.neural import GANTrainConfig, gan_train_restore
+from audio_inpainting_tpu.ops import istft, stft, torch_stft_config
+from audio_inpainting_tpu.ops.stft import magphase, polar
+
+INPUT = os.environ.get("BENCH_INPUT",
+                       "/root/reference/vocals_accompaniment_10s.wav")
+_CFG = torch_stft_config(1024, 256)
+
+
+def prepare():
+    sr, data = load_mono_normalized(INPUT)
+    data = data[:10 * sr]
+    n = len(data)
+    gs, ge = center_gap_bounds(n, sr)
+    corrupted = data.copy()
+    corrupted[gs:ge] = 0.0
+    # int16 round-trip like the pipeline / reference chain
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        save_wav_int16(corrupted, sr, f.name)
+        _, damaged = load_mono_normalized(f.name)
+    os.unlink(f.name)
+    return sr, data, damaged, n, gs, ge
+
+
+def run_variant(name: str, cfg: GANTrainConfig, sr, data, damaged, n, gs, ge,
+                epochs: int = 1500, seed: int = 0):
+    t0 = time.time()
+    zd = stft(jnp.asarray(damaged), _CFG)
+    mag_d, phase_d = magphase(zd)
+    mag_min, mag_max = jnp.min(mag_d), jnp.max(mag_d)
+    norm = (mag_d - mag_min) / (mag_max - mag_min) * 2.0 - 1.0
+    keep = (norm > -0.95).astype(jnp.float32)
+    z_real = stft(jnp.asarray(data), _CFG)
+    real_norm = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
+    final_norm, (dl, gl) = gan_train_restore(norm, real_norm, keep, cfg,
+                                             key=seed)
+    final_mag = (jnp.asarray(final_norm) + 1.0) / 2.0 * (mag_max - mag_min) \
+        + mag_min
+    gan = np.asarray(istft(polar(final_mag, phase_d), _CFG, n))
+    # diagnostic: how well does the composite's fill match real, norm units?
+    hole = 1.0 - keep
+    rec_l1 = float(jnp.sum(jnp.abs((final_norm - real_norm) * hole))
+                   / jnp.sum(hole))
+    out = {
+        "variant": name,
+        "snr_db": round(float(snr_db(data, gan)), 3),
+        "local_snr_db": round(float(local_snr_db(data, gan, gs, ge)), 3),
+        "lsd_db": round(float(lsd_db(data, gan)), 3),
+        "wall_s": round(time.time() - t0, 2),
+        "d_loss_final": round(float(dl[-1]), 4),
+        "g_loss_final": round(float(gl[-1]), 4),
+        "hole_l1_norm_units": round(rec_l1, 5),
+        "hole_frac": round(float(jnp.mean(hole)), 4),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+VARIANTS = {
+    "bf16": GANTrainConfig(bf16=True),
+    "f32": GANTrainConfig(bf16=False),
+    "l1only": GANTrainConfig(bf16=False, l1_weight=1.0, adv_weight=0.0),
+    "l1only-bf16": GANTrainConfig(bf16=True, l1_weight=1.0, adv_weight=0.0),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    ctx = prepare()
+    for name in names:
+        run_variant(name, VARIANTS[name], *ctx)
+
+
+if __name__ == "__main__":
+    main()
