@@ -139,24 +139,6 @@ def _extrapolate_scan(ctxs: jax.Array, w: jax.Array, b: jax.Array,
     return preds.T  # (B, steps)
 
 
-def _extrapolate(ctxs: jax.Array, w: jax.Array, b: jax.Array,
-                 noise_std: jax.Array, valid: jax.Array, key: jax.Array,
-                 steps: int, texture: bool) -> jax.Array:
-    """Dispatch the recurrence to the Pallas VMEM kernel on TPU (measured
-    1.5x over lax.scan at the Part-2 shape) and to lax.scan elsewhere."""
-    from ..ops.pallas.ar_scan import ar_extrapolate_pallas, pallas_supported
-
-    order = w.shape[1]
-    if pallas_supported() and order <= 128:
-        B, C = ctxs.shape
-        state0 = ctxs[:, C - order - 1 : C - 1]
-        eps = (jax.random.normal(key, (steps, B)).T if texture
-               else jnp.zeros((B, steps)))
-        gain = jnp.where(valid, 1.0, 0.0)
-        return ar_extrapolate_pallas(state0, w, b, noise_std, gain, eps, steps)
-    return _extrapolate_scan(ctxs, w, b, noise_std, valid, key, steps, texture)
-
-
 @functools.partial(jax.jit, static_argnames=("context_len",))
 def _extract_contexts(signal: jax.Array, starts: jax.Array, ends: jax.Array,
                       context_len: int):
@@ -203,20 +185,47 @@ def _blend_and_paste(signal: jax.Array, starts: jax.Array, lens: jax.Array,
     return signal.at[pos.reshape(-1)].set(fill.reshape(-1), mode="drop")
 
 
-def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
-                  cfg: ARConfig, key: jax.Array):
-    starts_a = jnp.asarray(starts)
-    ends_a = jnp.asarray(ends)
-    lens = ends_a - starts_a
-    max_len = int(np.max(ends - starts))
-    ctxs, pads = _extract_contexts(signal, starts_a, ends_a, cfg.context_len)
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_len", "use_pallas", "n_gaps"))
+def _restore_once_fused(signal: jax.Array, starts: jax.Array,
+                        ends: jax.Array, key: jax.Array, cfg: ARConfig,
+                        max_len: int, use_pallas: bool, n_gaps: int):
+    """Extract + fit + extrapolate + blend as ONE device program.
+
+    Fusing the four stages under a single jit removes the per-stage host
+    dispatch that dominated part-1 AR in round 1 (measured 5.4 s lap vs
+    ~0.1 s device compute, NOTES_ROUND2.md)."""
+    from ..ops.pallas.ar_scan import ar_extrapolate_pallas
+
+    lens = ends - starts
+    ctxs, pads = _extract_contexts(signal, starts, ends, cfg.context_len)
     w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
-    preds = _extrapolate(ctxs, w, b, std * cfg.texture_scale, valid, key,
-                         max_len, cfg.texture)
-    G = len(starts)
-    out = _blend_and_paste(signal, starts_a, lens, preds[:G], preds[G:],
+    std = std * cfg.texture_scale
+    if use_pallas:
+        B, C = ctxs.shape
+        order = cfg.order
+        state0 = ctxs[:, C - order - 1 : C - 1]
+        eps = (jax.random.normal(key, (max_len, B)).T if cfg.texture
+               else jnp.zeros((B, max_len)))
+        gain = jnp.where(valid, 1.0, 0.0)
+        preds = ar_extrapolate_pallas(state0, w, b, std, gain, eps, max_len)
+    else:
+        preds = _extrapolate_scan(ctxs, w, b, std, valid, key, max_len,
+                                  cfg.texture)
+    G = n_gaps
+    out = _blend_and_paste(signal, starts, lens, preds[:G], preds[G:],
                            valid[:G], valid[G:], max_len)
     return out, preds
+
+
+def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
+                  cfg: ARConfig, key: jax.Array):
+    from ..ops.pallas.ar_scan import pallas_supported
+
+    max_len = int(np.max(ends - starts))
+    use_pallas = bool(pallas_supported()) and cfg.order <= 128
+    return _restore_once_fused(signal, jnp.asarray(starts), jnp.asarray(ends),
+                               key, cfg, max_len, use_pallas, len(starts))
 
 
 def ar_restore_gaps(signal, gaps: list[tuple[int, int]], cfg: ARConfig,

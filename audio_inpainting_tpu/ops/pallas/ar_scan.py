@@ -15,7 +15,7 @@ time axis is processed in 128-wide tiles: an outer loop loads one eps tile
 and flushes one output tile, an inner 128-step loop extracts/inserts lanes
 with masked selects against a lane iota.
 
-Semantics match methods/ar._extrapolate exactly (same op order); the
+Semantics match methods/ar._extrapolate_scan exactly (same op order); the
 equivalence test runs the kernel in interpret mode on CPU, and the AR
 method uses it automatically on TPU.
 """
