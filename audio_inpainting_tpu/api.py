@@ -109,11 +109,18 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         mag_min, mag_max = jnp.min(mag), jnp.max(mag)
         norm = (mag - mag_min) / (mag_max - mag_min) * 2.0 - 1.0
         keep = (norm > -0.95).astype(jnp.float32)
-        if original is not None:
-            z_real = stft(jnp.asarray(np.asarray(original, np.float32)[:n]), scfg)
-            real = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
-        else:
-            real = norm  # self-supervised fallback when no ground truth
+        if original is None:
+            # Refuse rather than silently self-supervise: without the clean
+            # clip the training target IS the damaged spectrogram — the hole
+            # it should fill (reference trains against ground truth,
+            # main_gan_gap.py:103-108).
+            raise ValueError(
+                "restore(method='gan') requires original=<clean signal>: "
+                "the reference GAN trains against the ground-truth clip's "
+                "spectrogram; without it the target would contain the hole "
+                "being filled")
+        z_real = stft(jnp.asarray(np.asarray(original, np.float32)[:n]), scfg)
+        real = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
         final, _ = gan_train_restore(norm, real, keep,
                                      GANTrainConfig(**cfg_kwargs), key=seed)
         final_mag = (jnp.asarray(final) + 1.0) / 2.0 * (mag_max - mag_min) + mag_min

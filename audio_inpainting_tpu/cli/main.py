@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p0 = sub.add_parser("part0", help="0.05 s segment: GP, AR, AR+texture, NMF")
     _add_common(p0)
     p0.add_argument("--gp-restarts", type=int, default=5)
-    p0.add_argument("--gp-steps", type=int, default=100)
+    p0.add_argument("--gp-steps", type=int, default=60)
 
     p1 = sub.add_parser("part1", help="random dropouts: linear, AR, NMF, U-Net")
     _add_common(p1)
@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa = sub.add_parser("all", help="run all three scenario pipelines")
     _add_common(pa)
     pa.add_argument("--gp-restarts", type=int, default=5)
-    pa.add_argument("--gp-steps", type=int, default=100)
+    pa.add_argument("--gp-steps", type=int, default=60)
     pa.add_argument("--unet-epochs", type=int, default=400)
     pa.add_argument("--gan-epochs", type=int, default=1500)
     pa.add_argument("--diffusion-steps", type=int, default=1500)
@@ -146,7 +146,7 @@ def main(argv=None) -> int:
 
         gp_cfg = GPConfig(
             n_restarts=getattr(args, "gp_restarts", 5),
-            opt_steps=getattr(args, "gp_steps", 100))
+            opt_steps=getattr(args, "gp_steps", 60))
         _emit("part0", run_part0(args.input, args.assets_dir, seed=args.seed,
                                  gp_cfg=gp_cfg), args.json)
     if args.cmd in ("part1", "all"):

@@ -37,13 +37,31 @@ def _metrics(name, original, restored, gs, ge, t0, results):
     }
 
 
-def run_part0(input_file: str, assets_dir: str = "demo_assets",
+def synthetic_signal(duration: float = 0.05, sr: int = 16000,
+                     seed: int = 0) -> tuple[int, np.ndarray]:
+    """The reference's synthetic fallback: 200 + 450 Hz sines + noise at
+    16 kHz, used when no input file exists (main1_gp.py:53-59; reference is
+    unseeded — seeded here)."""
+    t = np.linspace(0, duration, int(duration * sr), dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    sig = (0.5 * np.sin(2 * np.pi * 200 * t)
+           + 0.3 * np.sin(2 * np.pi * 450 * t)
+           + 0.02 * rng.randn(len(t)))
+    return sr, sig.astype(np.float32)
+
+
+def run_part0(input_file: str | None, assets_dir: str = "demo_assets",
               duration: float = 0.05, gap_ratio: float = 0.2,
               seed: int = 0, gp_cfg: GPConfig | None = None) -> dict:
-    sr, data = load_mono_normalized(input_file)
-    n = int(duration * sr)
-    start = len(data) // 2
-    signal = data[start : start + n]
+    if input_file is None or not os.path.exists(input_file):
+        # reference behavior: synthesize when the clip is missing
+        sr, signal = synthetic_signal(duration, seed=seed)
+        n = len(signal)
+    else:
+        sr, data = load_mono_normalized(input_file)
+        n = int(duration * sr)
+        start = len(data) // 2
+        signal = data[start : start + n]
     mask, (gs, ge) = contiguous_gap_mask(n, gap_ratio)
     corrupted = signal.copy()
     corrupted[gs:ge] = 0.0

@@ -57,9 +57,18 @@ def test_restore_unet(damaged_clip):
     assert out.shape == d.shape and np.isfinite(out).all()
 
 
-def test_restore_gan_self_supervised(damaged_clip):
+def test_restore_gan_requires_original(damaged_clip):
+    """Without ground truth the GAN's target would contain the hole it is
+    filling (api.py refuses; reference trains on the clean clip,
+    main_gan_gap.py:103-108)."""
     sr, x, d = damaged_clip
-    out = restore(d, sr, method="gan", epochs=20)
+    with pytest.raises(ValueError, match="original"):
+        restore(d, sr, method="gan", epochs=20)
+
+
+def test_restore_gan_with_original(damaged_clip):
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="gan", epochs=20, original=x)
     assert out.shape == d.shape and np.isfinite(out).all()
 
 

@@ -64,6 +64,31 @@ def test_find_main_gap():
     assert find_main_gap(np.ones(100, dtype=np.float32)) is None
 
 
+def test_find_main_gap_reference_span_semantics(ref_clip):
+    """Pin the reference detector's first-to-last-silent-sample semantics
+    (main3_AR_text_gap.py:34-49): it spans ALL sub-threshold samples, so
+
+    - two separated silent runs are reported as ONE gap spanning both, and
+    - on int16-quantized real music, natural near-zero crossings make the
+      span vastly exceed the actual corruption (why pipelines/part2.py uses
+      longest-run detection instead).
+    """
+    # (a) two runs -> one span from first to last silent sample
+    x = np.ones(10000, dtype=np.float32) * 0.5
+    x[1000:1500] = 0.0
+    x[8000:8200] = 0.0
+    assert find_main_gap(x) == (1000, 8200)
+
+    # (b) int16-quantized music: zero crossings quantize to 0 -> the span
+    # covers nearly the whole clip even though the real gap is 2 s
+    sr, clip = ref_clip
+    q = (np.clip(clip, -1, 1) * 32767).astype(np.int16).astype(np.float32) / 32767
+    gs, ge = len(q) // 2 - sr, len(q) // 2 + sr
+    q[gs:ge] = 0.0
+    s, e = find_main_gap(q, threshold=1e-4)
+    assert (e - s) > 2 * (ge - gs)  # span >> the actual 2 s gap
+
+
 def test_find_gaps_run_length():
     x = np.ones(10000, dtype=np.float32) * 0.5
     x[1000:1300] = 0.0   # kept (>100)

@@ -104,3 +104,13 @@ def test_demo_static_html(all_results, assets_dir):
     assert a is not None and i is not None
     a2, _ = get_media_paths(assets_dir, "part2", "nonexistent_method")
     assert a2 is None
+
+
+def test_part0_synthetic_fallback(tmp_path):
+    """Missing input file -> the reference's 200+450 Hz synthetic segment
+    (main1_gp.py:53-59) drives the full part-0 pipeline."""
+    r = run_part0(None, str(tmp_path / "assets"), seed=0,
+                  gp_cfg=GPConfig(n_restarts=1, opt_steps=10))
+    assert r["sr"] == 16000
+    for m in ("gp", "ar", "ar_texture", "nmf"):
+        assert np.isfinite(r[m]["snr_db"])
