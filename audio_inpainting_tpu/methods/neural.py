@@ -230,8 +230,12 @@ def gan_train_restore(input_norm, real_norm, mask,
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
-    inp2d, (f0, t0) = _pad4(jnp.asarray(input_norm, jnp.float32))
-    real2d, _ = _pad4(jnp.asarray(real_norm, jnp.float32))
+    # pad with -1.0: in the GAN's min-max [-1, 1] space silence IS -1, and a
+    # 0.0 pad reads as a bright band that pollutes the generator's top
+    # frequency rows (measured: rel mag error ~1.0 in rows 507-512, the
+    # dominant term of the round-1 -6 dB global SNR; tools/gan_diag.py)
+    inp2d, (f0, t0) = _pad4(jnp.asarray(input_norm, jnp.float32), value=-1.0)
+    real2d, _ = _pad4(jnp.asarray(real_norm, jnp.float32), value=-1.0)
     msk2d, _ = _pad4(jnp.asarray(mask, jnp.float32), value=1.0)  # pad = kept
     inp, real, msk = _nhwc(inp2d), _nhwc(real2d), _nhwc(msk2d)
     vld = _nhwc(_valid4(f0, t0))
