@@ -17,8 +17,12 @@ TPU-native diffusion engine:
   the masked region at full resolution. Training = one lax.scan'd Adam loop;
   sampling = 50 DDIM steps in one device program.
 
-A local riffusion checkpoint can be slotted in later via the params
-argument of ``ddim_repaint_inpaint`` (zero-egress image: no hub downloads).
+With a LOCAL riffusion checkpoint (diffusers layout; zero-egress images
+cannot download one), ``riffusion_restore_audio(damaged, sr,
+checkpoint_root=...)`` runs the full reference pipeline instead: the Flax
+SD port in models/sd/ (UNet2DCondition + VAE + CLIP text encoder + PLMS),
+prompt "high quality audio, ambient sound, seamless transition", 50 steps,
+strength 1.0 (main_diffusion_gap.py:58-67).
 """
 
 from __future__ import annotations
@@ -264,6 +268,46 @@ def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
     return out_u8[:h, :w]
 
 
+def riffusion_restore_audio(damaged: np.ndarray, sr: int,
+                            checkpoint_root: str,
+                            prompt: str | None = None,
+                            steps: int = 50,
+                            key: int = 0, composite: bool = True) -> np.ndarray:
+    """Reference-exact Riffusion inpainting from a LOCAL checkpoint.
+
+    wav -> log-spec image -> RGB 512x512 -> SD masked-latent inpaint
+    (models/sd/pipeline.py; prompt/steps/strength per
+    main_diffusion_gap.py:58-67) -> resize back -> Griffin-Lim. Raises
+    FileNotFoundError when checkpoint_root is absent — callers fall back to
+    ``diffusion_restore_audio`` (the native DDPM engine).
+    """
+    from ..models.sd import (PROMPT, InpaintConfig, load_riffusion,
+                             riffusion_inpaint_image)
+
+    bundle = load_riffusion(checkpoint_root)
+    damaged = np.asarray(damaged, np.float32)
+    logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
+    img, smin, smax = logspec_to_image(logspec)
+    mask = mask_from_image(img)
+    h, w = img.shape
+    rgb512 = resize_image(np.repeat(img[:, :, None], 3, axis=2), (512, 512))
+    mask512 = resize_image(mask, (512, 512))
+    out512 = riffusion_inpaint_image(
+        bundle, rgb512, mask512, prompt or PROMPT,
+        InpaintConfig(steps=steps), key=key)
+    gray = np.asarray(resize_image(out512, (w, h)), np.float32).mean(axis=2)
+    inpainted = np.rint(np.clip(gray, 0, 255)).astype(np.uint8)
+    # the known region is trustworthy in the source image; keep it exact
+    inpainted = np.where(mask == 255, inpainted, img)
+    linear = image_to_linear_spec(inpainted, smin, smax)
+    out = np.asarray(griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,
+                                 n_iter=32, length=len(damaged), power=1.0,
+                                 seed=key))
+    if not composite:
+        return out
+    return _composite_time_domain(damaged, out, mask)
+
+
 def diffusion_restore_audio(damaged: np.ndarray, sr: int,
                             cfg: DiffusionConfig = DiffusionConfig(),
                             key: int = 0, composite: bool = True) -> np.ndarray:
@@ -289,8 +333,13 @@ def diffusion_restore_audio(damaged: np.ndarray, sr: int,
                                  seed=key))
     if not composite:
         return out
-    # time-domain composite: replace only fully-damaged image columns
-    # (hop=512 frames), with a 1024-sample crossfade at each boundary
+    return _composite_time_domain(damaged, out, mask)
+
+
+def _composite_time_domain(damaged: np.ndarray, out: np.ndarray,
+                           mask: np.ndarray) -> np.ndarray:
+    """Replace only fully-damaged image columns (hop=512 frames) in the
+    waveform, with a 1024-sample crossfade at each boundary."""
     bad_cols = np.flatnonzero((mask == 255).mean(axis=0) > 0.95)
     if bad_cols.size == 0:
         return damaged

@@ -1,0 +1,260 @@
+"""Tests for the Flax SD/Riffusion port (models/sd/).
+
+Real riffusion weights cannot be downloaded in this zero-egress image, so
+these tests validate everything that doesn't need them: module shapes on
+tiny configs, the loader's key mapping + tensor-transform round trip
+(synthetic torch-style state dicts), scheduler algebra, and the full
+inpaint pipeline loop end-to-end with random weights.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from audio_inpainting_tpu.models.sd import (  # noqa: E402
+    AutoencoderKL, InpaintConfig, SchedulerConfig, UNet2DCondition,
+    UNetConfig, VAEConfig, add_noise, alphas_cumprod, ddim_step,
+    flax_to_torch_key, flax_to_torch_state, plms_init, plms_step,
+    plms_timesteps, torch_to_flax)
+from audio_inpainting_tpu.models.sd.pipeline import (  # noqa: E402
+    riffusion_inpaint_image)
+
+
+# --------------------------------------------------------------- shapes ----
+
+
+def test_unet_tiny_shapes():
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    x = jnp.zeros((2, 16, 16, cfg.in_channels))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    out = model.apply({"params": params}, x, t, ctx)
+    assert out.shape == (2, 16, 16, cfg.out_channels)
+
+
+def test_vae_tiny_shapes():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    x = jnp.zeros((1, 32, 32, cfg.in_channels))
+    params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    mean, logvar = vae.apply({"params": params}, x,
+                             method=AutoencoderKL.encode)
+    n_down = 2 ** (len(cfg.block_out_channels) - 1)
+    assert mean.shape == (1, 32 // n_down, 32 // n_down, cfg.latent_channels)
+    assert logvar.shape == mean.shape
+    rec = vae.apply({"params": params}, mean, method=AutoencoderKL.decode)
+    assert rec.shape == x.shape
+
+
+# --------------------------------------------------------------- loader ----
+
+
+def test_key_mapping_spot_checks():
+    cases = {
+        ("down_blocks_0_resnets_0", "conv1", "kernel"):
+            "down_blocks.0.resnets.0.conv1.weight",
+        ("down_blocks_0_attentions_1", "transformer_blocks_0", "attn2",
+         "to_out_0", "kernel"):
+            "down_blocks.0.attentions.1.transformer_blocks.0.attn2."
+            "to_out.0.weight",
+        ("down_blocks_0_attentions_0", "transformer_blocks_0", "ff", "net_0",
+         "proj", "bias"):
+            "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0."
+            "proj.bias",
+        ("time_embedding", "linear_1", "kernel"):
+            "time_embedding.linear_1.weight",
+        ("mid_block_resnets_1", "norm2", "scale"):
+            "mid_block.resnets.1.norm2.weight",
+        ("mid_block_attentions_0", "group_norm", "bias"):
+            "mid_block.attentions.0.group_norm.bias",
+        ("up_blocks_2_upsamplers_0", "conv", "kernel"):
+            "up_blocks.2.upsamplers.0.conv.weight",
+        ("encoder", "down_blocks_1_downsamplers_0", "conv", "bias"):
+            "encoder.down_blocks.1.downsamplers.0.conv.bias",
+        ("quant_conv", "kernel"): "quant_conv.weight",
+        ("conv_norm_out", "scale"): "conv_norm_out.weight",
+    }
+    for path, want in cases.items():
+        assert flax_to_torch_key(path) == want
+
+
+def _roundtrip(params):
+    """flax -> torch-style dict -> flax; strict both ways."""
+    sd = flax_to_torch_state(params)
+    back = torch_to_flax(sd, params, strict=True)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    return sd
+
+
+def test_loader_roundtrip_unet():
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 8, 8, cfg.in_channels)),
+                        jnp.zeros((1,)),
+                        jnp.zeros((1, 3, cfg.cross_attention_dim)))["params"]
+    sd = _roundtrip(params)
+    # torch layouts: conv OIHW, linear (O, I)
+    assert sd["conv_in.weight"].shape[2:] == (3, 3)
+    assert sd["conv_in.weight"].shape[0] == cfg.block_out_channels[0]
+
+
+def test_loader_roundtrip_vae():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 16, 16, cfg.in_channels)),
+                      jax.random.PRNGKey(2))["params"]
+    sd = _roundtrip(params)
+    assert "encoder.mid_block.attentions.0.to_q.weight" in sd
+    assert "decoder.up_blocks.0.resnets.0.conv1.weight" in sd
+    assert "post_quant_conv.weight" in sd
+
+
+def test_loader_legacy_vae_attention_aliases():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 16, 16, cfg.in_channels)),
+                      jax.random.PRNGKey(2))["params"]
+    sd = flax_to_torch_state(params)
+    legacy = {}
+    for k, v in sd.items():
+        for new, old in (("to_q", "query"), ("to_k", "key"),
+                         ("to_v", "value"), ("to_out.0", "proj_attn")):
+            if f"attentions.0.{new}." in k:
+                k = k.replace(new, old)
+                if v.ndim == 2 and k.endswith("weight"):
+                    v = v[:, :, None, None]  # legacy 1x1-conv layout
+                break
+        legacy[k] = v
+    back = torch_to_flax(legacy, params, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_strict_raises_on_missing_and_unused():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 16, 16, cfg.in_channels)),
+                      jax.random.PRNGKey(2))["params"]
+    sd = flax_to_torch_state(params)
+    key = next(iter(sd))
+    missing = dict(sd)
+    del missing[key]
+    with pytest.raises(KeyError):
+        torch_to_flax(missing, params, strict=True)
+    extra = dict(sd)
+    extra["bogus.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(KeyError):
+        torch_to_flax(extra, params, strict=True)
+
+
+# ------------------------------------------------------------ scheduler ----
+
+
+def test_plms_timetable_structure():
+    table = plms_timesteps(50)
+    assert len(table) == 51
+    assert table[0] == 981 and table[-1] == 1
+    assert table[1] == table[2] == 961          # counter==1 re-evaluation
+    assert all(np.diff(table[2:]) == -20)
+
+
+def test_prev_sample_identity_with_true_eps():
+    """If eps is the exact noise of x_t, every scheduler update must land on
+    the exact x_{t_prev} of the same (x0, eps) pair — an algebraic identity
+    of the PNDM/DDIM prev-sample formulas."""
+    cfg = SchedulerConfig()
+    acp = alphas_cumprod(cfg)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 3)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(2, 3)), jnp.float32)
+    for t in [981, 501, 21]:
+        xt = add_noise(x0, eps, jnp.int32(t), acp)
+        want = add_noise(x0, eps, jnp.int32(t - 20), acp)
+        got = ddim_step(xt, eps, jnp.int32(t), 50, acp, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
+def test_plms_constant_eps_converges_to_x0():
+    """With a model that always reports the same eps, the multistep combos
+    collapse to that eps and the full 51-eval PLMS chain must land exactly on
+    sqrt(acp[0]) x0 + sqrt(1-acp[0]) eps (set_alpha_to_one=False)."""
+    cfg = SchedulerConfig()
+    acp = alphas_cumprod(cfg)
+    table = jnp.asarray(plms_timesteps(50, cfg))
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+    x = add_noise(x0, eps, table[0], acp)
+    state = plms_init(x.shape)
+    for i in range(len(table)):
+        state, x = plms_step(state, x, eps, table[i], 50, acp, cfg)
+    want = add_noise(x0, eps, jnp.int32(0), acp)  # a_prev -> acp[0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want), atol=1e-4)
+
+
+# ------------------------------------------------------------- pipeline ----
+
+
+class _FakeTokenizer:
+    model_max_length = 77
+
+    def __call__(self, texts, **kw):
+        class R:
+            input_ids = np.zeros((len(texts), 7), np.int32)
+        return R()
+
+
+class _FakeTextEncoder:
+    def __init__(self, dim):
+        self.dim = dim
+
+    def __call__(self, ids):
+        class R:
+            pass
+        r = R()
+        rng = np.random.default_rng(3)
+        r.last_hidden_state = rng.normal(
+            size=(ids.shape[0], ids.shape[1], self.dim)).astype(np.float32)
+        return r
+
+
+def test_inpaint_pipeline_tiny_end_to_end():
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vcfg)
+    n_down = 2 ** (len(vcfg.block_out_channels) - 1)
+    H = 32
+    up = unet.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, H // n_down, H // n_down, 4)),
+                   jnp.zeros((1,)),
+                   jnp.zeros((1, 7, ucfg.cross_attention_dim)))["params"]
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, H, H, 3)),
+                  jax.random.PRNGKey(2))["params"]
+    bundle = {"unet_params": up, "vae_params": vp,
+              "text_encoder": _FakeTextEncoder(ucfg.cross_attention_dim),
+              "tokenizer": _FakeTokenizer(), "unet_cfg": ucfg,
+              "vae_cfg": vcfg}
+    img = np.random.default_rng(4).integers(
+        0, 256, size=(H, H, 3)).astype(np.uint8)
+    mask = np.zeros((H, H), np.uint8)
+    mask[:, 12:20] = 255
+    out = riffusion_inpaint_image(bundle, img, mask,
+                                  cfg=InpaintConfig(steps=4), key=0)
+    assert out.shape == (H, H, 3) and out.dtype == np.uint8
+    with pytest.raises(NotImplementedError):
+        riffusion_inpaint_image(bundle, img, mask,
+                                cfg=InpaintConfig(steps=4, strength=0.5))
