@@ -1,10 +1,17 @@
 from .mesh import make_mesh, shard_batch
+from .spatial import (fit_shared_unet_spatial, make_mesh_2d, predict_spatial,
+                      shard_spatial, stft_frame_parallel)
 from .train import shared_unet_train_step, init_shared_unet, fit_shared_unet
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_batch",
+    "shard_spatial",
     "shared_unet_train_step",
     "init_shared_unet",
     "fit_shared_unet",
+    "fit_shared_unet_spatial",
+    "predict_spatial",
+    "stft_frame_parallel",
 ]
