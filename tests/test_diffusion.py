@@ -60,3 +60,25 @@ def test_diffusion_inpaint_smoke_tiny():
     np.testing.assert_array_equal(out[:, :24], img_damaged[:, :24])
     np.testing.assert_array_equal(out[:, 40:], img_damaged[:, 40:])
     assert np.isfinite(out).all()
+
+
+def test_calibrate_fill_energy():
+    """The gap fill is rescaled so its power = ratio x surrounding power."""
+    from audio_inpainting_tpu.methods.diffusion import _calibrate_fill_energy
+
+    rng = np.random.default_rng(0)
+    n = 8192
+    damaged = rng.normal(scale=0.1, size=n).astype(np.float32)
+    gs, ge = 2048, 4096
+    damaged[gs:ge] = 0.0
+    out = rng.normal(scale=1.0, size=n).astype(np.float32)  # 100x hot fill
+    mask = np.zeros((64, n // 512), np.uint8)
+    mask[:, gs // 512:ge // 512] = 255
+    cal = _calibrate_fill_energy(damaged, out, mask, ratio=0.15)
+    span = ge - gs
+    ctx = np.concatenate([damaged[gs - span:gs], damaged[ge:ge + span]])
+    got = np.mean(cal[gs:ge] ** 2) / np.mean(ctx ** 2)
+    assert abs(got - 0.15) < 1e-3
+    # no damaged columns -> untouched
+    none = _calibrate_fill_energy(damaged, out, np.zeros_like(mask), 0.15)
+    np.testing.assert_array_equal(none, out)
