@@ -33,6 +33,14 @@ COMMENTS = {
     ("part2", "gan"): "[Listening] The gap is filled with plausible content but can be a bit rough.\n[Visual] The black region is replaced, but textures may look noisy or irregular.",
     ("part2", "diffusion"): "[Listening] Very natural, with smooth transitions into and out of the gap.\n[Visual] The model hallucinates highly detailed, realistic time-frequency structure.",
     ("part2", "original"): "Reference clean signal. Compare how close each model comes to this target.",
+    # part0 commentary is framework-authored (the reference demo has no
+    # part-0 tab; these artifacts come from its standalone scripts).
+    ("part0", "gp_corrupted"): "[Listening] Several short segments are cut out of the waveform.\n[Visual] Narrow blank stripes interrupt the harmonics.",
+    ("part0", "gp"): "[Listening] Gaps are filled with smooth, confident interpolations.\n[Visual] The GP posterior mean restores continuous harmonic bands with an uncertainty envelope.",
+    ("part0", "ar"): "[Listening] Bidirectional AR extrapolation reconnects the waveform cleanly.\n[Visual] Local waveform structure continues through each gap.",
+    ("part0", "ar_texture"): "[Listening] Like AR, with added residual-scaled noise for a livelier texture.\n[Visual] Filled regions carry natural-looking high-frequency grain.",
+    ("part0", "nmf"): "[Listening] Iterative NMF re-synthesizes the missing spectrogram columns.\n[Visual] Repeating spectral templates span the holes.",
+    ("part0", "gp_original"): "Reference clean signal for the part-0 scenarios.",
 }
 
 _HEADER = """# 🕵️ Signal Restorer: Audio Inpainting Showcase
@@ -55,7 +63,8 @@ def _launch_gradio(assets_dir: str, share: bool):  # pragma: no cover
     with gr.Blocks() as demo:
         gr.Markdown(_HEADER)
         with gr.Tabs():
-            for part, title in [("part1", "🌦️ Scene 1: Random Fragments"),
+            for part, title in [("part0", "🎼 Scene 0: Classic Restorers"),
+                                ("part1", "🌦️ Scene 1: Random Fragments"),
                                 ("part2", "🕳️ Scene 2: 2s Temporal Hole")]:
                 with gr.TabItem(title):
                     labels = dict((lbl, key) for key, lbl in DEMO_LABELS[part])
@@ -82,7 +91,8 @@ def _launch_gradio(assets_dir: str, share: bool):  # pragma: no cover
 def render_static_html(assets_dir: str) -> str:
     """Dependency-free gallery over the same registry + commentary."""
     rows = []
-    for part, title in [("part1", "Scene 1: Random Fragments"),
+    for part, title in [("part0", "Scene 0: Classic Restorers"),
+                        ("part1", "Scene 1: Random Fragments"),
                         ("part2", "Scene 2: 2s Temporal Hole")]:
         rows.append(f"<h2>{html.escape(title)}</h2>")
         for key, label in DEMO_LABELS[part]:

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.fastconv import conv3x3_same
+from ..ops.fastconv import conv3x3_fast
 
 
 class _FastConv3x3(nn.Module):
@@ -32,7 +32,7 @@ class _FastConv3x3(nn.Module):
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        return conv3x3_same(x, k) + b
+        return conv3x3_fast(x, k) + b
 
 
 def timestep_embedding(t: jax.Array, dim: int) -> jax.Array:

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.fastconv import conv3x3_same
+from ..ops.fastconv import conv3x3_fast
 
 
 class Conv3x3(nn.Module):
@@ -43,9 +43,9 @@ class Conv3x3(nn.Module):
                             (3, 3, ci, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        # kernel stays f32: conv3x3_same computes fwd in x's dtype but
+        # kernel stays f32: conv3x3_fast computes fwd in x's dtype but
         # returns the weight grad in f32 (no bf16 rounding of updates)
-        y = conv3x3_same(x.astype(self.dtype), kernel)
+        y = conv3x3_fast(x.astype(self.dtype), kernel)
         return y + bias.astype(self.dtype)
 
 

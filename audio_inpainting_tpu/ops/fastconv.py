@@ -61,3 +61,95 @@ def _bwd(res, g):
 
 
 conv3x3_same.defvjp(_fwd, _bwd)
+
+
+# ------------------------- W-packed (Toeplitz-matmul) variant ---------------
+
+_B = 8  # time-steps packed into lanes
+
+
+def _build_kbig(k, b=_B):
+    """(3,3,Ci,Co) -> (3, (b+2)*Ci, b*Co) banded Toeplitz blocks."""
+    _, _, ci, co = k.shape
+    kb = jnp.zeros((3, (b + 2) * ci, b * co), k.dtype)
+    for j in range(b):
+        for dw in range(3):
+            kb = kb.at[:, (j + dw) * ci:(j + dw + 1) * ci,
+                       j * co:(j + 1) * co].add(k[:, dw])
+    return kb
+
+
+def _conv_wpack(x, k, b=_B):
+    """3x3 SAME conv as 3 banded matmuls with W packed into lanes.
+
+    In NHWC the lane dimension carries only C values (1/8 of a 128-lane
+    register at C=16); packing b=8 adjacent time steps raises the matmul to
+    K=(b+2)*Ci, N=b*Co — full lane occupancy at the cost of a 10/3-sparse
+    band. Measured 2.1x faster than XLA's conv at C=16 on (516,1724)
+    (tools/conv_variants.py scan bench: 0.93 vs 1.95 ms).
+    """
+    n, h, w, ci = x.shape
+    co = k.shape[3]
+    wp = -w % b
+    xw = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wp), (0, 0)))
+    wb = (w + wp) // b
+    core = xw[:, :, 1:1 + w + wp].reshape(n, h + 2, wb, b, ci)
+    left = xw[:, :, 0:w + wp:b][:, :, :, None, :]
+    right = xw[:, :, b + 1::b]
+    if right.shape[2] < wb:
+        right = jnp.pad(right, ((0, 0), (0, 0), (0, wb - right.shape[2]),
+                                (0, 0)))
+    right = right[:, :, :, None, :]
+    xb = jnp.concatenate([left, core, right], axis=3)
+    xb = xb.reshape(n, h + 2, wb, (b + 2) * ci)
+    kb = _build_kbig(k.astype(x.dtype), b)
+    y = jnp.zeros((n, h, wb, b * co), jnp.float32)
+    for kh in range(3):
+        y = y + jnp.einsum("nhwk,kc->nhwc", xb[:, kh:kh + h], kb[kh],
+                           preferred_element_type=jnp.float32)
+    return y.reshape(n, h, wb * b, co)[:, :, :w, :].astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv3x3_wpack(x: jax.Array, k: jax.Array) -> jax.Array:
+    """conv3x3_same semantics via the W-packed forward/input-grad.
+
+    Same mixed-precision contract (x may be bf16, k f32; dk returned f32).
+    Weight grad stays the 9-shifted-matmul form (measured bandwidth-bound —
+    packing buys nothing there)."""
+    return _conv_wpack(x, k)
+
+
+def _wfwd(x, k):
+    return _conv_wpack(x, k), (x, k)
+
+
+def _wbwd(res, g):
+    x, k = res
+    kt = jnp.flip(k, (0, 1)).transpose(0, 1, 3, 2)
+    dx = _conv_wpack(g, kt).astype(x.dtype)
+    n, h, w, ci = x.shape
+    co = k.shape[3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gf = g.reshape(-1, co)
+    rows = []
+    for kh in range(3):
+        cols = []
+        for kw in range(3):
+            xs = xp[:, kh : kh + h, kw : kw + w, :].reshape(-1, ci)
+            cols.append(jnp.dot(xs.T, gf, preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(cols, 0))
+    dk = jnp.stack(rows, 0).astype(k.dtype)
+    return dx, dk
+
+
+conv3x3_wpack.defvjp(_wfwd, _wbwd)
+
+
+def conv3x3_fast(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Shape-based dispatch: W-packed matmul conv where it wins (small
+    channel counts on big maps), XLA conv + shifted-matmul dk elsewhere."""
+    ci, co = k.shape[2], k.shape[3]
+    if 2 <= ci <= 32 and co <= 32:
+        return conv3x3_wpack(x, k)
+    return conv3x3_same(x, k)

@@ -52,6 +52,16 @@ ASSET_REGISTRY: dict[str, dict[str, dict[str, str]]] = {
 
 # Radio labels used by the demo UI, matching the reference (demo.py:6-63)
 DEMO_LABELS = {
+    # part0 is a framework addition: the reference demo shows only
+    # part1/part2, but the part-0 pipelines publish full artifacts too.
+    "part0": [
+        ("gp_corrupted", "🤕 Damaged (Missing Segments)"),
+        ("gp", "🌊 Gaussian Process (GP)"),
+        ("ar", "📈 Autoregressive (AR)"),
+        ("ar_texture", "🎛️ AR + Texture Noise"),
+        ("nmf", "🧩 Spectral Factorization (NMF)"),
+        ("gp_original", "✅ Ground Truth"),
+    ],
     "part1": [
         ("damaged", "🤕 Damaged (Random Mask)"),
         ("linear", "📏 Linear Interpolation"),

@@ -50,3 +50,37 @@ def test_diffusion_unet_still_trains():
     g = jax.grad(lambda pp: jnp.mean(m.apply({"params": pp}, x, t) ** 2))(p)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_wpack_matches_reference_conv_and_grads():
+    from audio_inpainting_tpu.ops.fastconv import conv3x3_same, conv3x3_wpack
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 13, 29, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 16, 8) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(2, 13, 29, 8), jnp.float32)
+
+    y_ref = conv3x3_same(x, k)
+    y = conv3x3_wpack(x, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    _, vjp_ref = jax.vjp(conv3x3_same, x, k)
+    _, vjp = jax.vjp(conv3x3_wpack, x, k)
+    for a, b in zip(vjp(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fast_dispatch_picks_wpack_in_small_channel_regime():
+    from audio_inpainting_tpu.ops.fastconv import conv3x3_fast
+
+    rng = np.random.RandomState(8)
+    for ci, co in ((1, 16), (16, 16), (64, 64)):
+        x = jnp.asarray(rng.randn(1, 8, 24, ci), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, ci, co) * 0.1, jnp.float32)
+        y = conv3x3_fast(x, k)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
