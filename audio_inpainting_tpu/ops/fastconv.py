@@ -86,7 +86,10 @@ def _conv_wpack(x, k, b=_B):
     register at C=16); packing b=8 adjacent time steps raises the matmul to
     K=(b+2)*Ci, N=b*Co — full lane occupancy at the cost of a 10/3-sparse
     band. Measured 2.1x faster than XLA's conv at C=16 on (516,1724)
-    (tools/conv_variants.py scan bench: 0.93 vs 1.95 ms).
+    (tools/conv_variants.py scan bench: 0.93 vs 1.95 ms). A "cleaner"
+    core+edge-matmul variant without the (b+2) concat was tried and traced
+    SLOWER (conv/reshape fusions grew 3x) — XLA's layout choices beat the
+    hand-restructured gather here; keep the concat form.
     """
     n, h, w, ci = x.shape
     co = k.shape[3]
