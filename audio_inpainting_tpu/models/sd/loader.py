@@ -164,13 +164,15 @@ def load_torch_weights(model_dir: str) -> dict:
     return state
 
 
-def load_riffusion(root: str, unet_cfg=None, vae_cfg=None):
+def load_riffusion(root: str, unet_cfg=None, vae_cfg=None,
+                   load_text: bool = True):
     """Load a local diffusers-layout SD/riffusion checkpoint.
 
     Returns dict with 'unet_params', 'vae_params', 'text_encoder' (a
     FlaxCLIPTextModel), 'tokenizer'. Raises FileNotFoundError if the
     directory is absent (zero-egress envs never have it; the diffusion
-    method then falls back to the native DDPM engine).
+    method then falls back to the native DDPM engine). ``load_text=False``
+    skips the CLIP/tokenizer legs (unit tests; caller supplies embeddings).
     """
     import jax.numpy as jnp
 
@@ -198,11 +200,14 @@ def load_riffusion(root: str, unet_cfg=None, vae_cfg=None):
     vae_params = torch_to_flax(load_torch_weights(os.path.join(root, "vae")),
                                vvars["params"])
 
-    from transformers import CLIPTokenizer, FlaxCLIPTextModel
+    text_encoder = tokenizer = None
+    if load_text:
+        from transformers import CLIPTokenizer, FlaxCLIPTextModel
 
-    text_encoder = FlaxCLIPTextModel.from_pretrained(
-        os.path.join(root, "text_encoder"), from_pt=True)
-    tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        text_encoder = FlaxCLIPTextModel.from_pretrained(
+            os.path.join(root, "text_encoder"), from_pt=True)
+        tokenizer = CLIPTokenizer.from_pretrained(
+            os.path.join(root, "tokenizer"))
     return {"unet_params": unet_params, "vae_params": vae_params,
             "text_encoder": text_encoder, "tokenizer": tokenizer,
             "unet_cfg": unet_cfg, "vae_cfg": vae_cfg}

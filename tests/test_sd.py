@@ -258,3 +258,35 @@ def test_inpaint_pipeline_tiny_end_to_end():
     with pytest.raises(NotImplementedError):
         riffusion_inpaint_image(bundle, img, mask,
                                 cfg=InpaintConfig(steps=4, strength=0.5))
+
+
+def test_load_riffusion_from_synthetic_checkpoint(tmp_path):
+    """End-to-end loader: write a tiny checkpoint in the diffusers disk
+    layout (real safetensors files) and load it back through
+    load_riffusion; trees must round-trip exactly."""
+    from safetensors.numpy import save_file
+
+    from audio_inpainting_tpu.models.sd import load_riffusion
+
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vcfg)
+    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                   jnp.zeros((1,)),
+                   jnp.zeros((1, 3, ucfg.cross_attention_dim)))["params"]
+    vp = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)),
+                  jax.random.PRNGKey(2))["params"]
+    for sub, params in (("unet", up), ("vae", vp)):
+        d = tmp_path / sub
+        d.mkdir()
+        sd = {k: np.ascontiguousarray(v)
+              for k, v in flax_to_torch_state(params).items()}
+        save_file(sd, str(d / "diffusion_pytorch_model.safetensors"))
+    bundle = load_riffusion(str(tmp_path), ucfg, vcfg, load_text=False)
+    for ref, got in ((up, bundle["unet_params"]), (vp, bundle["vae_params"])):
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(FileNotFoundError):
+        load_riffusion(str(tmp_path / "missing"), ucfg, vcfg,
+                       load_text=False)
