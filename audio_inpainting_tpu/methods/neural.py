@@ -15,7 +15,9 @@ Reference behavior (SURVEY.md §2/§3):
 TPU-native design: each epoch is a jitted train step; the whole budget runs
 as ``lax.scan`` over epochs inside ONE device program (donated carry), so
 400-1500 epochs execute without host round-trips. Padding to multiples of 4
-keeps all conv shapes static (see models/unet.py).
+keeps all conv shapes static; the U-Net/Generator run in the W-packed
+lane layout of models/packed_unet.py (full 128-lane occupancy at C=16,
+no conv<->matmul relayout copies inside blocks), so T pads to 32.
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.unet import SimpleUNet, GeneratorUNet, Discriminator
+from ..models.packed_unet import PackedGeneratorUNet, PackedSimpleUNet
+from ..models.unet import Discriminator
 
 
 @dataclass(frozen=True)
@@ -60,8 +63,10 @@ def _nhwc(x2d: jax.Array) -> jax.Array:
 
 
 def _pad4(x2d: jax.Array, value: float = 0.0) -> tuple[jax.Array, tuple[int, int]]:
+    # F to a multiple of 4 (two pools), T to a multiple of 32 (two pools x
+    # the 8-wide lane packing of models.packed_unet)
     f, t = x2d.shape
-    pf, pt = (-f) % 4, (-t) % 4
+    pf, pt = (-f) % 4, (-t) % 32
     return jnp.pad(x2d, ((0, pf), (0, pt)), constant_values=value), (f, t)
 
 
@@ -71,7 +76,7 @@ def _valid4(f: int, t: int) -> jax.Array:
     Losses are summed over this and divided by f*t so the pad rows/cols
     neither enter the loss nor inflate the mean's denominator (the
     reference's losses are means over the unpadded spectrogram)."""
-    pad = jnp.zeros(((-f) % 4 + f, (-t) % 4 + t), jnp.float32)
+    pad = jnp.zeros(((-f) % 4 + f, (-t) % 32 + t), jnp.float32)
     return pad.at[:f, :t].set(1.0)
 
 
@@ -82,7 +87,7 @@ def _valid4(f: int, t: int) -> jax.Array:
                    donate_argnums=(0, 1))
 def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
                       cfg: UNetTrainConfig, n_epochs: int):
-    model = SimpleUNet(dtype=_dtype(cfg))
+    model = PackedSimpleUNet(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr)
     inv = (1.0 - mask) * valid
     denom = jnp.sum(valid)
@@ -122,7 +127,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     msk = _nhwc(msk2d)
     vld = _nhwc(_valid4(f0, t0))
 
-    model = SimpleUNet(dtype=_dtype(cfg))
+    model = PackedSimpleUNet(dtype=_dtype(cfg))
     params = model.init(key, inp)["params"]
     opt_state = optax.adam(cfg.lr).init(params)
 
@@ -135,7 +140,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
         losses.append(ls)
         done += n
 
-    pred = SimpleUNet(dtype=_dtype(cfg)).apply({"params": params}, inp)[0, :, :, 0]
+    pred = PackedSimpleUNet(dtype=_dtype(cfg)).apply({"params": params}, inp)[0, :, :, 0]
     input_mag = tgt2d * msk2d
     final = input_mag + pred * (1.0 - msk2d)       # composite (reference :182)
     return final[:f0, :t0], pred[:f0, :t0], jnp.concatenate(losses)
@@ -148,7 +153,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
                    donate_argnums=(0,))
 def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
                      n_epochs: int):
-    g_model = GeneratorUNet(dtype=_dtype(cfg))
+    g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
     d_model = Discriminator(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     inv = 1.0 - mask
@@ -241,7 +246,7 @@ def gan_train_restore(input_norm, real_norm, mask,
     vld = _nhwc(_valid4(f0, t0))
 
     kg, kd = jax.random.split(key)
-    g_model = GeneratorUNet(dtype=_dtype(cfg))
+    g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
     d_model = Discriminator(dtype=_dtype(cfg))
     g_vars = g_model.init(kg, inp, True)
     d_vars = d_model.init(kd, inp, True)
@@ -260,7 +265,7 @@ def gan_train_restore(input_norm, real_norm, mask,
 
     gp, gbs = state[0], state[1]
     # final inference in eval mode (running batch stats), reference :150-153
-    fake = GeneratorUNet(dtype=_dtype(cfg)).apply(
+    fake = PackedGeneratorUNet(dtype=_dtype(cfg)).apply(
         {"params": gp, "batch_stats": gbs}, inp, False)
     final = inp * msk + fake * (1.0 - msk)
     return final[0, :f0, :t0, 0], (jnp.concatenate(d_hist), jnp.concatenate(g_hist))

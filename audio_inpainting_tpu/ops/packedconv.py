@@ -1,0 +1,182 @@
+"""Packed-activation convolution layer ops (TPU lane-occupancy design).
+
+Motivation (device traces, tools/gan_diag.py round): with C=16..64 channels
+in NHWC, the TPU lane dimension is 1/8 occupied, and every hop between
+XLA's conv layouts and matmul layouts costs a full-tensor relayout copy —
+~17 ms of the GAN's 48 ms epoch was `data formatting`. This module keeps
+activations in a W-PACKED layout
+
+    packed(x)[n, h, wb, j*C + c] = x[n, h, wb*B + j, c],  B = 8
+
+i.e. shape (N, H, W/B, B*C) whose minor dimension fills all 128 lanes at
+C=16. Everything a conv block needs — 3x3 conv, 1x1 conv, BatchNorm
+statistics and application, LeakyReLU — is expressed directly on this
+layout, so whole blocks run with ZERO relayouts; pack/unpack reshapes
+happen only at pool/upsample boundaries.
+
+The 3x3 conv is the banded-Toeplitz matmul of ops.fastconv.conv3x3_wpack
+(K=(B+2)*Ci, N=B*Co), with a custom VJP: the input gradient is the same
+packed conv with the flipped/transposed kernel, and the weight gradient is
+three (B+2)*Ci x B*Co MXU matmuls (contraction over all N*H*Wb positions)
+folded along the band — all full-lane shapes.
+
+Requires W % B == 0 (callers pad the spectrogram width; silence padding is
+handled by the model's existing pad/crop + valid-mask logic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+B = 8
+
+
+def pack(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H, W/B, B*C). W must divide by B."""
+    n, h, w, c = x.shape
+    assert w % B == 0, (w, B)
+    return x.reshape(n, h, w // B, B * c)
+
+
+def unpack(xp: jax.Array, c: int) -> jax.Array:
+    """(N, H, Wb, B*C) -> (N, H, Wb*B, C)."""
+    n, h, wb, bc = xp.shape
+    assert bc == B * c, (bc, c)
+    return xp.reshape(n, h, wb * B, c)
+
+
+def _band_kernel(k: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (3, (B+2)*Ci, B*Co) banded Toeplitz blocks."""
+    _, _, ci, co = k.shape
+    kb = jnp.zeros((3, (B + 2) * ci, B * co), k.dtype)
+    for j in range(B):
+        for dw in range(3):
+            kb = kb.at[:, (j + dw) * ci:(j + dw + 1) * ci,
+                       j * co:(j + 1) * co].add(k[:, dw])
+    return kb
+
+
+def _gather_xb(xp: jax.Array, ci: int) -> jax.Array:
+    """(N, H, Wb, B*Ci) -> (N, H+2, Wb, (B+2)*Ci): zero H pad + the
+    neighbor blocks' boundary columns appended in the lane dimension."""
+    xh = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    last = xh[:, :, :-1, (B - 1) * ci:]            # prev block's last column
+    left = jnp.pad(last, ((0, 0), (0, 0), (1, 0), (0, 0)))
+    first = xh[:, :, 1:, :ci]                      # next block's first column
+    right = jnp.pad(first, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return jnp.concatenate([left, xh, right], axis=-1)
+
+
+def _conv_packed(xp, k):
+    n, h, wb, bci = xp.shape
+    ci = bci // B
+    co = k.shape[3]
+    xb = _gather_xb(xp, ci)
+    kb = _band_kernel(k.astype(xp.dtype))
+    # lane order in xb is [left | core | right] = position index -1..B, so
+    # the band kernel's row j*Ci starts at lane (j)*Ci of the core -> offset
+    # by Ci for the left column: xb lanes (dw+j)*Ci line up with kb rows.
+    y = jnp.zeros((n, h, wb, B * co), jnp.float32)
+    for kh in range(3):
+        y = y + jnp.einsum("nhwk,kc->nhwc", xb[:, kh:kh + h], kb[kh],
+                           preferred_element_type=jnp.float32)
+    return y.astype(xp.dtype)
+
+
+@jax.custom_vjp
+def conv3x3_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """3x3 SAME conv on packed activations: (N,H,Wb,B*Ci) -> (N,H,Wb,B*Co).
+
+    k: (3, 3, Ci, Co) float32. Mixed precision like fastconv: forward in
+    xp's dtype, weight grad accumulated f32."""
+    return _conv_packed(xp, k)
+
+
+def _fwd(xp, k):
+    return _conv_packed(xp, k), (xp, k)
+
+
+def _bwd(res, g):
+    xp, k = res
+    kt = jnp.flip(k, (0, 1)).transpose(0, 1, 3, 2)
+    dx = _conv_packed(g, kt).astype(xp.dtype)
+    # weight grad: dkb[kh] = xb[:, kh:kh+h]^T @ g  (full-lane MXU matmuls),
+    # then fold the band structure back to (3, 3, Ci, Co)
+    n, h, wb, bci = xp.shape
+    ci = bci // B
+    co = g.shape[3] // B
+    xb = _gather_xb(xp, ci)
+    gf = g.reshape(-1, B * co)
+    dk = jnp.zeros((3, 3, ci, co), jnp.float32)
+    for kh in range(3):
+        xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
+        dkb = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32)
+        for dw in range(3):
+            blocks = [dkb[(j + dw) * ci:(j + dw + 1) * ci,
+                          j * co:(j + 1) * co] for j in range(B)]
+            dk = dk.at[kh, dw].add(sum(blocks))
+    return dx, dk.astype(k.dtype)
+
+
+conv3x3_packed.defvjp(_fwd, _bwd)
+
+
+def conv3x3_packed2(xa: jax.Array, xb_: jax.Array, ka: jax.Array,
+                    kb_: jax.Array) -> jax.Array:
+    """Conv over the channel-concatenation of two packed inputs WITHOUT
+    materializing the concat (packed concat would interleave lanes):
+    conv(concat([a, b], C), k) == conv(a, k[:Ca]) + conv(b, k[Ca:])."""
+    return conv3x3_packed(xa, ka) + conv3x3_packed(xb_, kb_).astype(xa.dtype)
+
+
+def conv1x1_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """1x1 conv as one block-diagonal lane matmul. k: (Ci, Co)."""
+    ci, co = k.shape
+    kd = jnp.zeros((B * ci, B * co), k.dtype)
+    for j in range(B):
+        kd = kd.at[j * ci:(j + 1) * ci, j * co:(j + 1) * co].set(k)
+    y = jnp.einsum("nhwk,kc->nhwc", xp, kd.astype(xp.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(xp.dtype)
+
+
+def channel_stats_packed(xp: jax.Array, ci: int):
+    """Per-channel mean/var over (N, H, W) of a packed tensor.
+
+    Reduces to a (B*Ci,) vector first (full-lane reduction), then folds the
+    B packing positions — the fold touches only a 1-D vector, so no tensor
+    relayout happens."""
+    x32 = xp.astype(jnp.float32)
+    n = xp.shape[0] * xp.shape[1] * xp.shape[2] * B
+    s1 = jnp.sum(x32, axis=(0, 1, 2)).reshape(B, ci).sum(0)
+    s2 = jnp.sum(x32 * x32, axis=(0, 1, 2)).reshape(B, ci).sum(0)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    return mean, var
+
+
+def channel_affine_packed(xp: jax.Array, scale: jax.Array,
+                          shift: jax.Array) -> jax.Array:
+    """y = xp * tile(scale) + tile(shift); scale/shift are (Ci,)."""
+    ci = scale.shape[0]
+    sc = jnp.tile(scale, B).astype(xp.dtype)
+    sh = jnp.tile(shift, B).astype(xp.dtype)
+    return xp * sc[None, None, None, :] + sh[None, None, None, :]
+
+
+def max_pool_2x2_packed(xp: jax.Array, ci: int) -> jax.Array:
+    """2x2/stride-2 max pool: packed in, packed out (Wb halves).
+
+    H-pool is a sublane-strided elementwise max; W-pool pairs adjacent
+    packed columns, which in lane space is max(lane j, lane j+ci) of the
+    (2ci)-strided groups — expressed as two strided lane gathers."""
+    n, h, wb, bci = xp.shape
+    hp = jnp.maximum(xp[:, 0::2], xp[:, 1::2])          # (n, h/2, wb, B*ci)
+    # lanes [j*ci : (j+1)*ci] for even j vs odd j
+    ev = hp.reshape(n, h // 2, wb, B // 2, 2, ci)[..., 0, :]
+    od = hp.reshape(n, h // 2, wb, B // 2, 2, ci)[..., 1, :]
+    wp = jnp.maximum(ev, od).reshape(n, h // 2, wb, (B // 2) * ci)
+    # two half-filled blocks merge into one full block: (wb, B/2*ci) ->
+    # (wb/2, B*ci) is a pure reshape in the (wb, lane) plane
+    return wp.reshape(n, h // 2, wb // 2, B * ci)
