@@ -70,9 +70,10 @@ class PackedBatchNorm(nn.Module):
                                 nn.initializers.zeros, None, (c,), jnp.float32)
         ra_var = self.variable("batch_stats", "var",
                                nn.initializers.ones, None, (c,), jnp.float32)
-        x32 = xp.astype(jnp.float32)
         if train:
-            mean, var = channel_stats_packed(x32, c)
+            # stats reduce in f32 (the upcast fuses into the reduction; no
+            # f32 copy of the activation is materialized)
+            mean, var = channel_stats_packed(xp, c)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
@@ -81,7 +82,9 @@ class PackedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
-        return channel_affine_packed(x32, mul, bias - mean * mul)
+        # apply in the input's dtype: under bf16 this keeps the activation
+        # bf16 end-to-end (halves BN traffic); f32 runs are unchanged
+        return channel_affine_packed(xp, mul, bias - mean * mul)
 
 
 class PackedConvBlock(nn.Module):
