@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..ops.packedconv import (B, channel_affine_packed, channel_stats_packed,
                               conv1x1_packed, conv3x3_packed, conv3x3_packed2,
-                              max_pool_2x2_packed, pack, unpack)
+                              conv_transpose2x2_packed, max_pool_2x2_packed,
+                              pack, unpack)
 
 
 class PackedConv3x3(nn.Module):
@@ -123,6 +124,26 @@ class PackedBNLeakyConvBlock(nn.Module):
         return nn.leaky_relu(x, 0.2)
 
 
+class PackedConvTranspose2x2(nn.Module):
+    """nn.ConvTranspose(co, (2,2), strides=(2,2)) twin on packed
+    activations (param tree: kernel (2,2,Ci,Co) + bias)."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = conv_transpose2x2_packed(xp.astype(self.dtype),
+                                     kernel.astype(self.dtype))
+        return y + jnp.tile(bias, B).astype(y.dtype)[None, None, None, :]
+
+
 class _PackedOut1x1(nn.Module):
     """nn.Conv(1, (1,1)) twin on packed input (param tree: kernel/bias)."""
 
@@ -146,20 +167,16 @@ class PackedSimpleUNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
-        up32 = nn.ConvTranspose(32, (2, 2), strides=(2, 2), dtype=dt,
-                                name="ConvTranspose_0")
-        up16 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), dtype=dt,
-                                name="ConvTranspose_1")
+        up32 = PackedConvTranspose2x2(32, 64, dt, name="ConvTranspose_0")
+        up16 = PackedConvTranspose2x2(16, 32, dt, name="ConvTranspose_1")
         xp = pack(x)
         e1 = PackedConvBlock(16, 1, dt, name="ConvBlock_0")(xp)
         e2 = PackedConvBlock(32, 16, dt, name="ConvBlock_1")(
             max_pool_2x2_packed(e1, 16))
         b = PackedConvBlock(64, 32, dt, name="ConvBlock_2")(
             max_pool_2x2_packed(e2, 32))
-        u2 = pack(up32(unpack(b, 64)))
-        d2 = PackedConvBlock(32, 64, dt, name="ConvBlock_3")(e2, u2, 32)
-        u1 = pack(up16(unpack(d2, 32)))
-        d1 = PackedConvBlock(16, 32, dt, name="ConvBlock_4")(e1, u1, 16)
+        d2 = PackedConvBlock(32, 64, dt, name="ConvBlock_3")(e2, up32(b), 32)
+        d1 = PackedConvBlock(16, 32, dt, name="ConvBlock_4")(e1, up16(d2), 16)
         out = _PackedOut1x1(16, name="Conv_0")(d1)
         return unpack(out, 1)
 
@@ -172,10 +189,8 @@ class PackedGeneratorUNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         dt = self.dtype
-        up32 = nn.ConvTranspose(32, (2, 2), strides=(2, 2), dtype=dt,
-                                name="ConvTranspose_0")
-        up16 = nn.ConvTranspose(16, (2, 2), strides=(2, 2), dtype=dt,
-                                name="ConvTranspose_1")
+        up32 = PackedConvTranspose2x2(32, 64, dt, name="ConvTranspose_0")
+        up16 = PackedConvTranspose2x2(16, 32, dt, name="ConvTranspose_1")
         xp = pack(x)
         e1 = PackedBNLeakyConvBlock(16, 1, dt, name="BNLeakyConvBlock_0")(
             xp, train)
@@ -183,11 +198,9 @@ class PackedGeneratorUNet(nn.Module):
             max_pool_2x2_packed(e1, 16), train)
         b = PackedBNLeakyConvBlock(64, 32, dt, name="BNLeakyConvBlock_2")(
             max_pool_2x2_packed(e2, 32), train)
-        u2 = pack(up32(unpack(b, 64)))
         d2 = PackedBNLeakyConvBlock(32, 64, dt, name="BNLeakyConvBlock_3")(
-            e2, train, u2, 32)
-        u1 = pack(up16(unpack(d2, 32)))
+            e2, train, up32(b), 32)
         d1 = PackedBNLeakyConvBlock(16, 32, dt, name="BNLeakyConvBlock_4")(
-            e1, train, u1, 16)
+            e1, train, up16(d2), 16)
         out = _PackedOut1x1(16, name="Conv_0")(d1)
         return jnp.tanh(unpack(out, 1))

@@ -180,3 +180,46 @@ def max_pool_2x2_packed(xp: jax.Array, ci: int) -> jax.Array:
     # two half-filled blocks merge into one full block: (wb, B/2*ci) ->
     # (wb/2, B*ci) is a pure reshape in the (wb, lane) plane
     return wp.reshape(n, h // 2, wb // 2, B * ci)
+
+
+def conv_transpose2x2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """ConvTranspose(kernel 2x2, stride 2, VALID) on packed activations.
+
+    out[2r+dr, 2c+dc] = sum_i x[r, c, i] * k[dr, dc, i, o] — i.e. each input
+    pixel emits a 2x2 output block. In packed lanes: output block 2m comes
+    from input block m's first half-lanes, block 2m+1 from the second half,
+    each via a (B/2*Ci, B*Co) matmul (dc interleaving baked into the
+    kernel); rows double by an interleaving stack. k: (2, 2, Ci, Co),
+    matching nn.ConvTranspose's kernel layout.
+    """
+    n, h, wb, bci = xp.shape
+    ci = bci // B
+    co = k.shape[3]
+    # lax.conv_transpose (and therefore nn.ConvTranspose) applies the
+    # kernel spatially FLIPPED relative to the scatter view used below:
+    # out[2r+dr, 2c+dc] uses k[1-dr, 1-dc] (verified vs flax numerically)
+    kd = jnp.flip(k, (0, 1)).astype(xp.dtype)
+    # (B/2*Ci, B*Co) for one row tap dr: out lane (2u+dc)*Co+o <- in lane
+    # u*Ci+i with weight k[dr, dc, i, o]
+    kups = []
+    for dr in range(2):
+        ku = jnp.zeros((B // 2 * ci, B * co), kd.dtype)
+        for u in range(B // 2):
+            for dc in range(2):
+                ku = ku.at[u * ci:(u + 1) * ci,
+                           (2 * u + dc) * co:(2 * u + dc + 1) * co].set(
+                               kd[dr, dc])
+        kups.append(ku)
+    lo, hi = xp[..., :B // 2 * ci], xp[..., B // 2 * ci:]
+    rows = []
+    for dr in range(2):
+        ye = jnp.einsum("nhwk,kc->nhwc", lo, kups[dr],
+                        preferred_element_type=jnp.float32)
+        yo = jnp.einsum("nhwk,kc->nhwc", hi, kups[dr],
+                        preferred_element_type=jnp.float32)
+        # interleave even/odd output blocks along wb
+        y = jnp.stack([ye, yo], axis=3).reshape(n, h, 2 * wb, B * co)
+        rows.append(y)
+    # interleave the two row taps: out rows 2r, 2r+1
+    out = jnp.stack(rows, axis=2).reshape(n, 2 * h, 2 * wb, B * co)
+    return out.astype(xp.dtype)
