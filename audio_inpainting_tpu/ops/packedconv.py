@@ -223,3 +223,43 @@ def conv_transpose2x2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     # interleave the two row taps: out rows 2r, 2r+1
     out = jnp.stack(rows, axis=2).reshape(n, 2 * h, 2 * wb, B * co)
     return out.astype(xp.dtype)
+
+
+def conv4x4s2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """4x4 conv, stride 2, pad 1 (the reference discriminator's op) on
+    packed activations: (N, H, Wb, B*Ci) -> (N, H/2, Wb/2, B*Co).
+
+    Out column c reads in columns 2c-1..2c+2, so an output block spans two
+    input blocks plus one boundary column on each side: lane gather
+    [prev_tail | even block | odd block | next_head] = (2B+2)*Ci lanes,
+    contracted against a (2B+2)*Ci x B*Co banded kernel per h tap; the four
+    h taps are stride-2 sublane views. Wb must be even.
+    """
+    n, h, wb, bci = xp.shape
+    ci = bci // B
+    co = k.shape[3]
+    kd = k.astype(xp.dtype)
+    h_out = (h + 2 - 4) // 2 + 1
+    xh = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    ev, od = xh[:, :, 0::2], xh[:, :, 1::2]
+    prev_tail = jnp.pad(od[:, :, :-1, (B - 1) * ci:],
+                        ((0, 0), (0, 0), (1, 0), (0, 0)))
+    next_head = jnp.pad(ev[:, :, 1:, :ci],
+                        ((0, 0), (0, 0), (0, 1), (0, 0)))
+    xb = jnp.concatenate([prev_tail, ev, od, next_head], axis=-1)
+    # banded kernel: out lane j*Co+o <- xb lane block p=2j+dw, tap k[kh,dw]
+    kbs = []
+    for kh in range(4):
+        kb = jnp.zeros(((2 * B + 2) * ci, B * co), kd.dtype)
+        for j in range(B):
+            for dw in range(4):
+                p = 2 * j + dw
+                kb = kb.at[p * ci:(p + 1) * ci,
+                           j * co:(j + 1) * co].add(kd[kh, dw])
+        kbs.append(kb)
+    y = jnp.zeros((n, h_out, wb // 2, B * co), jnp.float32)
+    for kh in range(4):
+        rows = xb[:, kh:kh + 2 * h_out:2]
+        y = y + jnp.einsum("nhwk,kc->nhwc", rows, kbs[kh],
+                           preferred_element_type=jnp.float32)
+    return y.astype(xp.dtype)

@@ -83,3 +83,25 @@ def test_packed_generator_matches_standard_train_and_eval():
     out_e = packed.apply(v, x, False)
     np.testing.assert_allclose(np.asarray(out_e), np.asarray(ref_e),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_discriminator_matches_standard():
+    from audio_inpainting_tpu.models.packed_unet import PackedDiscriminator
+    from audio_inpainting_tpu.models.unet import Discriminator
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 20, 64, 1), jnp.float32)
+    std = Discriminator()
+    v = std.init(jax.random.PRNGKey(0), x, True)
+    packed = PackedDiscriminator()
+    v2 = packed.init(jax.random.PRNGKey(0), x, True)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v2["params"]))
+    ref, upd_ref = std.apply(v, x, True, mutable=["batch_stats"])
+    out, upd = packed.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(upd["batch_stats"]),
+                    jax.tree_util.tree_leaves(upd_ref["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
