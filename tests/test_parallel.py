@@ -37,7 +37,7 @@ def test_graft_entry_contract():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (1, 516, 1724, 1)
+    assert out.shape == (1, 516, 1728, 1)
     ge.dryrun_multichip(8)
 
 
