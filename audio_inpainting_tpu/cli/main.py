@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p2)
     p2.add_argument("--gan-epochs", type=int, default=1500)
     p2.add_argument("--diffusion-steps", type=int, default=1500)
+    p2.add_argument("--diffusion-checkpoint", default=None,
+                    help="orbax dir from a corpus DDPM pretrain; skips "
+                         "per-clip diffusion training")
 
     pa = sub.add_parser("all", help="run all three scenario pipelines")
     _add_common(pa)
@@ -48,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--unet-epochs", type=int, default=400)
     pa.add_argument("--gan-epochs", type=int, default=1500)
     pa.add_argument("--diffusion-steps", type=int, default=1500)
+    pa.add_argument("--diffusion-checkpoint", default=None,
+                    help="orbax dir from a corpus DDPM pretrain; skips "
+                         "per-clip diffusion training")
 
     pr = sub.add_parser("restore", help="restore one WAV with any method")
     pr.add_argument("input_wav")
@@ -159,9 +165,11 @@ def main(argv=None) -> int:
         from ..pipelines import run_part2
 
         dcfg = DiffusionConfig(train_steps=args.diffusion_steps)
+        dckpt = getattr(args, "diffusion_checkpoint", None)
         _emit("part2", run_part2(args.input, args.assets_dir, seed=args.seed,
                                  gan_epochs=args.gan_epochs,
-                                 diffusion_cfg=dcfg), args.json)
+                                 diffusion_cfg=dcfg,
+                                 diffusion_checkpoint=dckpt), args.json)
     print(f"total wall: {time.time() - t_start:.1f}s", file=sys.stderr)
     return 0
 

@@ -321,7 +321,9 @@ def riffusion_restore_audio(damaged: np.ndarray, sr: int,
 
 def diffusion_restore_audio(damaged: np.ndarray, sr: int,
                             cfg: DiffusionConfig = DiffusionConfig(),
-                            key: int = 0, composite: bool = True) -> np.ndarray:
+                            key: int = 0, composite: bool = True,
+                            checkpoint_dir: str | None = None,
+                            params=None) -> np.ndarray:
     """Full reference pipeline: wav -> log-spec image -> inpaint masked
     (near-black) region -> linear spec -> Griffin-Lim -> waveform.
 
@@ -332,12 +334,21 @@ def diffusion_restore_audio(damaged: np.ndarray, sr: int,
     (measured -16 dB global SNR on the real clip); composite keeps the
     hallucinated gap fill while leaving intact audio intact.
     ``composite=False`` reproduces the reference behavior exactly.
+
+    ``params`` (a DiffusionUNet param tree) or ``checkpoint_dir`` (an orbax
+    dir from train_spectrogram_ddpm) skips the per-clip DDPM training —
+    the pretrained-weights mode the reference's riffusion pipeline uses
+    (~3 s instead of ~20 s on a v5e).
     """
     damaged = np.asarray(damaged, np.float32)
+    if params is None and checkpoint_dir is not None:
+        from ..utils.checkpoint import load_params
+
+        params = load_params(checkpoint_dir)
     logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
     img, smin, smax = logspec_to_image(logspec)
     mask = mask_from_image(img)
-    inpainted = diffusion_inpaint_image(img, mask, cfg, key)
+    inpainted = diffusion_inpaint_image(img, mask, cfg, key, params=params)
     linear = image_to_linear_spec(inpainted, smin, smax)
     out = np.asarray(griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,
                                  n_iter=32, length=len(damaged), power=1.0,

@@ -59,7 +59,8 @@ def detect_main_gap(damaged: np.ndarray, threshold: float = 1e-4,
 
 def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
               gan_epochs: int = 1500,
-              diffusion_cfg: DiffusionConfig | None = None) -> dict:
+              diffusion_cfg: DiffusionConfig | None = None,
+              diffusion_checkpoint: str | None = None) -> dict:
     sr, data = load_mono_normalized(input_file)
     n_target = 10 * sr
     if len(data) > n_target:
@@ -125,7 +126,8 @@ def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     # --- 5. diffusion ------------------------------------------------------
     t0 = time.time()
     diff = diffusion_restore_audio(damaged, sr,
-                                   diffusion_cfg or DiffusionConfig(), key=seed)
+                                   diffusion_cfg or DiffusionConfig(), key=seed,
+                                   checkpoint_dir=diffusion_checkpoint)
     diff = np.clip(diff, -1.0, 1.0)
     _metrics("diffusion", data, diff, gs, ge, t0, results)
     write_artifacts(diff, sr, assets_dir, "part2", "diffusion")

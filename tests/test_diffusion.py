@@ -82,3 +82,25 @@ def test_calibrate_fill_energy():
     # no damaged columns -> untouched
     none = _calibrate_fill_energy(damaged, out, np.zeros_like(mask), 0.15)
     np.testing.assert_array_equal(none, out)
+
+
+def test_restore_audio_uses_checkpoint(tmp_path):
+    """checkpoint_dir skips per-clip training and restores from the saved
+    DDPM params (the pretrained-weights mode)."""
+    import jax.numpy as jnp
+
+    from audio_inpainting_tpu.methods.diffusion import (
+        DiffusionConfig, diffusion_restore_audio, logspec_to_image,
+        train_spectrogram_ddpm, wav_to_logspec)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(scale=0.2, size=16384).astype(np.float32)
+    img, _, _ = logspec_to_image(np.asarray(wav_to_logspec(jnp.asarray(x))))
+    cfg = DiffusionConfig(train_steps=10, scan_chunk=5, sample_steps=3,
+                          patch=16, batch=2, base_channels=8)
+    ck = str(tmp_path / "ddpm")
+    train_spectrogram_ddpm([img], cfg, key=0, checkpoint_dir=ck)
+    d = x.copy()
+    d[6000:9000] = 0.0
+    out = diffusion_restore_audio(d, 16000, cfg, key=0, checkpoint_dir=ck)
+    assert out.shape == d.shape and np.isfinite(out).all()
