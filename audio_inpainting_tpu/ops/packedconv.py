@@ -47,14 +47,22 @@ def unpack(xp: jax.Array, c: int) -> jax.Array:
 
 
 def _band_kernel(k: jax.Array) -> jax.Array:
-    """(3, 3, Ci, Co) -> (3, (B+2)*Ci, B*Co) banded Toeplitz blocks."""
+    """(3, 3, Ci, Co) -> (3, (B+2)*Ci, B*Co) banded Toeplitz blocks.
+
+    Built by concatenating row-blocks (each a concat of k-taps and zeros)
+    rather than scattering 24 dynamic-update-slices: the build runs every
+    epoch inside the training scan and the concat form fuses better —
+    measured 38.6 -> 30.9 s on the 1500-epoch GAN. (Applying the same
+    concat trick to the 1x1/transpose/stride-2 kernel builds and the dk
+    band fold was ALSO tried and measured slower, 33.7 s — those builds
+    stay in scatter form.)"""
     _, _, ci, co = k.shape
-    kb = jnp.zeros((3, (B + 2) * ci, B * co), k.dtype)
-    for j in range(B):
-        for dw in range(3):
-            kb = kb.at[:, (j + dw) * ci:(j + dw + 1) * ci,
-                       j * co:(j + 1) * co].add(k[:, dw])
-    return kb
+    zero = jnp.zeros((3, ci, co), k.dtype)
+    rows = []
+    for p in range(B + 2):           # band row = input position p-1
+        cells = [k[:, p - j] if 0 <= p - j < 3 else zero for j in range(B)]
+        rows.append(jnp.concatenate(cells, axis=-1))
+    return jnp.concatenate(rows, axis=1)
 
 
 def _gather_xb(xp: jax.Array, ci: int) -> jax.Array:
