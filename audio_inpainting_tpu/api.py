@@ -129,7 +129,9 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
     if method == "diffusion":
         from .methods.diffusion import DiffusionConfig, diffusion_restore_audio
 
+        ckpt = cfg_kwargs.pop("checkpoint_dir", None)
         return diffusion_restore_audio(damaged, sr,
-                                       DiffusionConfig(**cfg_kwargs), key=seed)
+                                       DiffusionConfig(**cfg_kwargs),
+                                       key=seed, checkpoint_dir=ckpt)
 
     raise ValueError(f"unknown method {method!r}")
