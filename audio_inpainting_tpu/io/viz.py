@@ -76,6 +76,23 @@ def ar_waveform_viz(t, signal, restored, pred_fwd, pred_bwd,
     return _save(fig, path)
 
 
+def ar_texture_waveform_viz(t, signal, restored, gap: tuple[int, int],
+                            path: str) -> str | None:
+    """Texture-injected AR figure (main3_AR_text.py:138-149): ground truth
+    in gray, the restored gap segment in red over a shaded gap span."""
+    if not _HAVE_MPL:  # pragma: no cover
+        return None
+    gs, ge = gap
+    fig = plt.figure(figsize=(12, 6))
+    plt.plot(t, signal, "gray", alpha=0.3, label="Ground Truth")
+    plt.plot(t[gs:ge], restored[gs:ge], "r-", linewidth=1,
+             label="Restored (with Texture)")
+    plt.axvspan(t[gs], t[min(ge, len(t) - 1)], color="red", alpha=0.1)
+    plt.title("Final Result: Bidirectional AR + Noise Injection")
+    plt.legend()
+    return _save(fig, path)
+
+
 def nmf_waveform_viz(signal, restored, gap: tuple[int, int], sr: int,
                      restored_mag, path: str) -> str | None:
     if not _HAVE_MPL:  # pragma: no cover

@@ -192,8 +192,9 @@ def _ddim_repaint(params, img, keep, key, cfg: DiffusionConfig):
 def train_spectrogram_ddpm(images_u8: list[np.ndarray] | np.ndarray,
                            cfg: DiffusionConfig = DiffusionConfig(),
                            key: jax.Array | int = 0,
-                           checkpoint_dir: str | None = None):
-    """Pretrain the spectrogram DDPM on a corpus of clean log-spec images.
+                           checkpoint_dir: str | None = None,
+                           masks_u8: list[np.ndarray] | None = None):
+    """Pretrain the spectrogram DDPM on a corpus of log-spec images.
 
     The reference's diffusion method relies on hub-downloaded riffusion
     weights (main_diffusion_gap.py:16-19) — impossible in a zero-egress
@@ -203,7 +204,11 @@ def train_spectrogram_ddpm(images_u8: list[np.ndarray] | np.ndarray,
     to skip per-clip training at inference.
 
     images_u8: list of (H, W) uint8 spectrogram images (heights may differ;
-    each must be >= cfg.patch in both dims). Returns trained params.
+    each must be >= cfg.patch in both dims). ``masks_u8`` (optional, one per
+    image, 255 = damaged) excludes damaged pixels from the loss so the
+    corpus may include damaged clips without the hole leaking in as "data"
+    (the bench pretrains on the damaged bench clip's INTACT regions only —
+    never on the ground truth under the hole). Returns trained params.
     """
     import optax
 
@@ -217,7 +222,11 @@ def train_spectrogram_ddpm(images_u8: list[np.ndarray] | np.ndarray,
 
     imgs = [jnp.asarray(np.asarray(im), jnp.float32) / 127.5 - 1.0
             for im in images_u8]
-    keeps = [jnp.ones_like(im) for im in imgs]
+    if masks_u8 is None:
+        keeps = [jnp.ones_like(im) for im in imgs]
+    else:
+        keeps = [jnp.asarray(np.asarray(m) == 0, jnp.float32)
+                 for m in masks_u8]
 
     done = 0
     i = 0

@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.packedconv import (B, channel_affine_packed, channel_stats_packed,
-                              conv1x1_packed, conv3x3_packed, conv3x3_packed2,
-                              conv4x4s2_packed, conv_transpose2x2_packed,
-                              max_pool_2x2_packed, pack, unpack)
+                              conv1x1_packed, conv3x3_packed_auto,
+                              conv3x3_packed2_auto, conv4x4s2_packed,
+                              conv_transpose2x2_packed, max_pool_2x2_packed,
+                              pack, unpack)
 
 
 class PackedConv3x3(nn.Module):
@@ -46,10 +47,10 @@ class PackedConv3x3(nn.Module):
                           jnp.float32)
         x = xp.astype(self.dtype)
         if xp2 is None:
-            y = conv3x3_packed(x, kernel)
+            y = conv3x3_packed_auto(x, kernel)
         else:
-            y = conv3x3_packed2(x, xp2.astype(self.dtype),
-                                kernel[:, :, :split], kernel[:, :, split:])
+            y = conv3x3_packed2_auto(x, xp2.astype(self.dtype),
+                                     kernel[:, :, :split], kernel[:, :, split:])
         return y + jnp.tile(bias, B).astype(y.dtype)[None, None, None, :]
 
 

@@ -138,6 +138,85 @@ def conv3x3_packed2(xa: jax.Array, xb_: jax.Array, ka: jax.Array,
     return conv3x3_packed(xa, ka) + conv3x3_packed(xb_, kb_).astype(xa.dtype)
 
 
+def dense_band_kernel(k: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (3, 3, B*Ci, B*Co): the band conv as a PLAIN conv
+    kernel on the packed layout.
+
+    Treat the packed tensor (N, H, Wb, B*C) as an ordinary NHWC image whose
+    W axis is the block index and whose channels are the B x C lane groups.
+    Then the band conv IS a dense 3x3 conv whose kernel carries the band
+    structure as zeros: within-column taps at dcol=1 (j' = j+dw-1), the
+    previous column's last position feeding j=0 (dcol=0, tap dw=0), and the
+    next column's first position feeding j=B-1 (dcol=2, tap dw=2).
+
+    Why: lanes are 100% occupied (B*C >= 128), XLA's native TPU conv reads
+    x once and fuses the surrounding elementwise work — unlike the explicit
+    band-matmul path whose HBM gather dominates, and unlike the Pallas
+    kernels whose opaque custom calls break XLA fusion (see PCONV_USE_PALLAS
+    below). The structural zeros cost extra MXU flops (6.4x at C=16), which
+    is free in an HBM-bound regime. Autodiff flows through the kernel build
+    (dk = the B-occurrence sums), so no custom VJP is needed.
+    """
+    _, _, ci, co = k.shape
+    kd = jnp.zeros((3, 3, B * ci, B * co), k.dtype)
+    for j in range(B):
+        for dw in range(3):
+            jp = j + dw - 1
+            if 0 <= jp < B:
+                kd = kd.at[:, 1, jp * ci:(jp + 1) * ci,
+                           j * co:(j + 1) * co].set(k[:, dw])
+    kd = kd.at[:, 0, (B - 1) * ci:, :co].set(k[:, 0])
+    kd = kd.at[:, 2, :ci, (B - 1) * co:].set(k[:, 2])
+    return kd
+
+
+def conv3x3_packed_dense(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """conv3x3_packed expressed as one plain XLA conv (see dense_band_kernel).
+
+    Same numerics: TPU convs accumulate f32 on the MXU regardless of the
+    bf16 operand dtype, matching the band path's preferred_element_type."""
+    kd = dense_band_kernel(k).astype(xp.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kd, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# Dispatch for the Pallas band-conv kernels (ops/pallas/pconv.py). Measured
+# OFF: the kernels are individually correct (equivalence-tested) but the GAN
+# epoch REGRESSED 19.2 -> 39.1 ms with them wired in — the opaque custom
+# calls broke XLA's elementwise fusions around each conv (leaky/BN passes
+# became standalone 1.6 ms full-tensor ops) and each pallas_call carries
+# ~0.3 ms of grid/DMA overhead at these shapes (33 tiles x 3 input blocks).
+# The shipped fast path is the dense-packed conv (conv3x3_packed_dense):
+# same band math expressed as ONE plain XLA conv with full 128-lane
+# channels, which XLA fuses end-to-end. Set to True only for kernel A/Bs.
+PCONV_USE_PALLAS = False
+
+
+def _use_pallas() -> bool:
+    """Pallas band conv only on explicit opt-in, single-device TPU (the
+    SPMD partitioner cannot shard the custom call; meshes keep XLA)."""
+    return (PCONV_USE_PALLAS and jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
+
+
+def conv3x3_packed_auto(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """conv3x3_packed via the fused Pallas kernel on single-chip TPU (x read
+    once, band gather in VMEM), XLA band conv elsewhere. Same numerics."""
+    if _use_pallas():
+        from .pallas.pconv import conv3x3_packed_pl
+
+        return conv3x3_packed_pl(xp, k)
+    return conv3x3_packed(xp, k)
+
+
+def conv3x3_packed2_auto(xa: jax.Array, xb_: jax.Array, ka: jax.Array,
+                         kb_: jax.Array) -> jax.Array:
+    """conv3x3_packed2 with the same auto dispatch."""
+    return (conv3x3_packed_auto(xa, ka)
+            + conv3x3_packed_auto(xb_, kb_).astype(xa.dtype))
+
+
 def conv1x1_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     """1x1 conv as one block-diagonal lane matmul. k: (Ci, Co)."""
     ci, co = k.shape

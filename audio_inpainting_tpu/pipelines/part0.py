@@ -18,7 +18,8 @@ import numpy as np
 
 from ..corrupt import contiguous_gap_mask
 from ..io import load_mono_normalized
-from ..io.viz import ar_waveform_viz, gp_waveform_viz, nmf_waveform_viz
+from ..io.viz import (ar_texture_waveform_viz, ar_waveform_viz,
+                      gp_waveform_viz, nmf_waveform_viz)
 from ..metrics import local_snr_db, snr_db
 from ..methods import ARConfig, ar_restore_gap
 from ..methods.ar import ar_restore_gap_detailed
@@ -94,13 +95,31 @@ def run_part0(input_file: str | None, assets_dir: str = "demo_assets",
                     order=30)
 
     # --- AR + texture injection (main3_AR_text.py) ---
+    # The reference's noise injection is UNSEEDED (main3_AR_text.py:74), so a
+    # single run is a draw from a ~±1 dB distribution. Official policy: run
+    # n_texture_seeds draws, report mean±std, and ship the median-SNR draw as
+    # the artifact (seed-0 alone undersold parity: 8.22 vs the 5-seed mean
+    # 9.47 against the reference's unseeded 9.46; tools/ar_tex_ab.py).
     t0 = time.time()
     cfg = ARConfig(order=30, alpha=0.5, texture=True, context_len=max(gs, n - ge))
-    art_out = np.asarray(ar_restore_gap(jnp.asarray(corrupted), (gs, ge), cfg, key=seed))
+    corr_j = jnp.asarray(corrupted)
+    n_seeds = 5
+    draws = [np.asarray(ar_restore_gap(corr_j, (gs, ge), cfg,
+                                       key=seed + 1000 * i))
+             for i in range(n_seeds)]
+    snrs = np.array([snr_db(signal, d) for d in draws])
+    med = int(np.argsort(snrs)[len(snrs) // 2])
+    art_out = draws[med]
     _metrics("ar_texture", signal, art_out, gs, ge, t0, results)
+    results["ar_texture"]["snr_db_mean"] = float(np.mean(snrs))
+    results["ar_texture"]["snr_db_std"] = float(np.std(snrs))
+    results["ar_texture"]["n_seeds"] = n_seeds
     write_artifacts(corrupted, sr, assets_dir, "part0", "ar_texture_corrupted")
     write_artifacts(art_out, sr, assets_dir, "part0", "ar_texture")
     write_artifacts(signal, sr, assets_dir, "part0", "ar_texture_original")
+    ar_texture_waveform_viz(
+        t_axis, signal, art_out, (gs, ge),
+        os.path.join(assets_dir, "part0", "ar_texture_waveform_viz.png"))
 
     # --- Iterative NMF (main4_NMF.py): 512/384 STFT, faded gap, 50 refits ---
     t0 = time.time()

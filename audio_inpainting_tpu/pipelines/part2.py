@@ -60,7 +60,8 @@ def detect_main_gap(damaged: np.ndarray, threshold: float = 1e-4,
 def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
               gan_epochs: int = 1500,
               diffusion_cfg: DiffusionConfig | None = None,
-              diffusion_checkpoint: str | None = None) -> dict:
+              diffusion_checkpoint: str | None = None,
+              diffusion_params=None) -> dict:
     sr, data = load_mono_normalized(input_file)
     n_target = 10 * sr
     if len(data) > n_target:
@@ -127,9 +128,12 @@ def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     t0 = time.time()
     diff = diffusion_restore_audio(damaged, sr,
                                    diffusion_cfg or DiffusionConfig(), key=seed,
-                                   checkpoint_dir=diffusion_checkpoint)
+                                   checkpoint_dir=diffusion_checkpoint,
+                                   params=diffusion_params)
     diff = np.clip(diff, -1.0, 1.0)
     _metrics("diffusion", data, diff, gs, ge, t0, results)
+    results["diffusion"]["pretrained"] = (diffusion_params is not None
+                                          or diffusion_checkpoint is not None)
     write_artifacts(diff, sr, assets_dir, "part2", "diffusion")
 
     return results

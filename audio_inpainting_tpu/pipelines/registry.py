@@ -50,6 +50,18 @@ ASSET_REGISTRY: dict[str, dict[str, dict[str, str]]] = {
     },
 }
 
+# Diagnostic figures (reference per-method visualize() outputs) also written
+# by the pipelines; checked by the contract test alongside the audio/spec
+# pairs. main3_AR_text.py:138 / main5_UNet_mask.py:220-222 counterparts.
+VIZ_ARTIFACTS: list[str] = [
+    "part0/gp_waveform_viz.png",
+    "part0/ar_waveform_viz.png",
+    "part0/ar_texture_waveform_viz.png",
+    "part0/nmf_waveform_viz.png",
+    "part1/spectrogram_comparison.png",
+    "part1/spectrogram_comparison.pdf",
+]
+
 # Radio labels used by the demo UI, matching the reference (demo.py:6-63)
 DEMO_LABELS = {
     # part0 is a framework addition: the reference demo shows only

@@ -5,7 +5,8 @@ Runs the suite twice — a warmup pass that populates the persistent
 compilation cache, then a measured pass — and prints ONE JSON line:
 
   {"metric": "suite_wall_clock_s", "value": ..., "unit": "s",
-   "vs_baseline": <reference_cpu_seconds / ours_seconds>}
+   "vs_baseline": <reference_cpu_seconds / ours_seconds>,
+   "quality_regressions": [...]}
 
 The measured suite is the reference-comparable set (every method whose
 reference script runs on this machine: GP, AR x3 scenarios, NMF x3, linear
@@ -14,9 +15,23 @@ method runs too but is excluded from the comparison (the reference's
 riffusion script cannot run here: needs diffusers + a HF download), and its
 wall-clock is reported separately on stderr.
 
+Diffusion runs in PRETRAINED mode — the reference's own semantics
+(main_diffusion_gap.py:16-19 downloads pretrained riffusion weights and only
+runs inference). The DDPM prior is pretrained once before the warmup pass on
+the DAMAGED bench clip's spectrogram image with the hole excluded from the
+loss (masks_u8), so no ground truth ever leaks through the gap; the measured
+pass is sample+Griffin-Lim only. Pretrain wall is reported on stderr.
+
 ``vs_baseline`` divides the reference's measured CPU wall-clock for the same
 set (tools/measure_reference_baseline.py -> baseline_cpu.json) by ours:
 >1 means faster than the reference.
+
+Quality gates: each method's measured SNR is compared against GATES —
+floors derived from the reference's own shipped artifacts
+(baseline_cpu.json: artifact_scores) and this framework's round-2 bests
+minus a noise margin. Violations land in the JSON line's
+``quality_regressions`` list (empty = all pass), so a silent quality
+regression (e.g. the GAN -1 padding constant) turns the bench red.
 """
 
 from __future__ import annotations
@@ -37,9 +52,69 @@ INPUT = os.environ.get("BENCH_INPUT", "/root/reference/vocals_accompaniment_10s.
 ASSETS = os.environ.get("BENCH_ASSETS", "/tmp/bench_assets")
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
 
+# (part, method, metric, floor). Floors: reference artifact scores where the
+# reference shipped one (gan/unet/nmf part2), reference printed SNRs (part0),
+# the damaged-baseline bar (part1 ar), and round-2 bests minus ~0.3 dB noise
+# margin elsewhere. All metrics are "higher is better" dB.
+GATES: list[tuple[str, str, str, float]] = [
+    ("part0", "gp", "snr_db", 10.5),            # ref prints 10.87; ours 11.57
+    ("part0", "gp", "local_snr_db", 0.4),
+    ("part0", "ar", "snr_db", 12.6),            # exact parity: 12.65
+    ("part0", "ar", "local_snr_db", 2.25),
+    ("part0", "ar_texture", "snr_db_mean", 8.96),  # within 0.5 dB of ref 9.46
+    ("part0", "nmf", "snr_db", 9.9),            # ref prints 10.13; ours 10.10
+    ("part0", "nmf", "local_snr_db", 0.3),
+    ("part1", "unet", "snr_db", 11.73),         # ref artifact dl_long_restored
+    ("part1", "ar", "snr_db", 4.87),            # ≥ the damaged baseline
+    ("part2", "ar", "snr_db", 1.0),             # ref artifact scores -6.22
+    ("part2", "nmf", "snr_db", 3.78),           # ref artifact 3.83
+    ("part2", "nmf", "local_snr_db", -0.06),    # ref artifact -0.01
+    ("part2", "gan", "snr_db", 2.04),           # ref artifact 2.04 (we beat it)
+    ("part2", "gan", "local_snr_db", -0.07),    # ref artifact -0.07
+    ("part2", "diffusion", "snr_db", 3.0),
+    ("part2", "diffusion", "local_snr_db", -1.0),
+]
 
-def run_suite(tag: str) -> dict:
-    from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
+
+def check_quality(res: dict) -> list[dict]:
+    """Compare one suite run against GATES; returns the violations."""
+    regressions = []
+    for part, method, metric, floor in GATES:
+        got = res.get(part, {}).get(method, {}).get(metric)
+        if got is None or got < floor:
+            regressions.append({"part": part, "method": method,
+                                "metric": metric, "floor": floor,
+                                "measured": None if got is None
+                                else round(float(got), 3)})
+    return regressions
+
+
+def pretrain_diffusion(cfg):
+    """Build the DDPM prior from the damaged bench clip (hole masked out)."""
+    import numpy as np
+
+    from audio_inpainting_tpu.corrupt import center_gap_bounds
+    from audio_inpainting_tpu.io import load_mono_normalized
+    from audio_inpainting_tpu.methods.diffusion import (
+        logspec_to_image, mask_from_image, train_spectrogram_ddpm,
+        wav_to_logspec)
+
+    sr, data = load_mono_normalized(INPUT)
+    data = data[:10 * sr]
+    gs, ge = center_gap_bounds(len(data), sr)
+    damaged = data.copy()
+    damaged[gs:ge] = 0.0      # the ground truth under the hole is never seen
+    img, _, _ = logspec_to_image(np.asarray(wav_to_logspec(damaged)))
+    mask = mask_from_image(img)
+    t0 = time.time()
+    params = train_spectrogram_ddpm([img], cfg, key=0, masks_u8=[mask])
+    jax.block_until_ready(params)
+    print(f"[pretrain] diffusion prior {time.time() - t0:.1f}s "
+          f"({cfg.train_steps} steps, hole-masked)", file=sys.stderr)
+    return params
+
+
+def run_suite(tag: str, diffusion_cfg, diffusion_params) -> dict:
     from audio_inpainting_tpu.methods.gp import GPConfig
     from audio_inpainting_tpu.pipelines import run_part0, run_part1, run_part2
 
@@ -47,7 +122,8 @@ def run_suite(tag: str) -> dict:
     r0 = run_part0(INPUT, ASSETS, seed=0, gp_cfg=GPConfig())
     r1 = run_part1(INPUT, ASSETS, seed=0, unet_epochs=400)
     r2 = run_part2(INPUT, ASSETS, seed=0, gan_epochs=1500,
-                   diffusion_cfg=DiffusionConfig(train_steps=1500))
+                   diffusion_cfg=diffusion_cfg,
+                   diffusion_params=diffusion_params)
     total = time.time() - t0
     print(f"[{tag}] total={total:.1f}s", file=sys.stderr)
     return {"part0": r0, "part1": r1, "part2": r2, "total_s": total}
@@ -66,16 +142,25 @@ def comparable_seconds(res: dict) -> float:
 
 
 def main() -> int:
-    run_suite("warmup")
-    res = run_suite("measured")
+    from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
+
+    diffusion_cfg = DiffusionConfig(train_steps=1500)
+    diffusion_params = pretrain_diffusion(diffusion_cfg)
+    run_suite("warmup", diffusion_cfg, diffusion_params)
+    res = run_suite("measured", diffusion_cfg, diffusion_params)
     ours = comparable_seconds(res)
     diff_s = res["part2"]["diffusion"]["wall_s"]
-    print(f"[measured] comparable={ours:.2f}s diffusion={diff_s:.2f}s",
-          file=sys.stderr)
+    print(f"[measured] comparable={ours:.2f}s diffusion={diff_s:.2f}s "
+          f"(pretrained inference)", file=sys.stderr)
     for part in ("part0", "part1", "part2"):
         print(f"[metrics] {part}: "
               + json.dumps({k: v for k, v in res[part].items()
                             if isinstance(v, dict)}), file=sys.stderr)
+    regressions = check_quality(res)
+    if regressions:
+        print(f"[quality] FAIL: {json.dumps(regressions)}", file=sys.stderr)
+    else:
+        print("[quality] all gates pass", file=sys.stderr)
 
     vs = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -86,7 +171,8 @@ def main() -> int:
             vs = ref_s / ours
     print(json.dumps({"metric": "suite_wall_clock_s",
                       "value": round(ours, 2), "unit": "s",
-                      "vs_baseline": round(vs, 2)}))
+                      "vs_baseline": round(vs, 2),
+                      "quality_regressions": regressions}))
     return 0
 
 

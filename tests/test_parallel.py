@@ -85,3 +85,40 @@ def test_stft_frame_parallel_matches_reference():
     re, im = stft_frame_parallel(x, cfg, mesh)
     np.testing.assert_allclose(np.asarray(re).T, z.real, atol=2e-3)
     np.testing.assert_allclose(np.asarray(im).T, z.imag, atol=2e-3)
+
+
+def test_packed_flagship_dp_matches_single_device():
+    """The production lane-packed U-Net trains identically on a dp mesh."""
+    import numpy as np
+
+    from audio_inpainting_tpu.parallel import (
+        fit_packed_unet_dp, fit_packed_unet_single, make_mesh)
+
+    rng = np.random.RandomState(3)
+    b, f, t = 8, 8, 64
+    batch = rng.rand(b, f, t, 1).astype("float32")
+    target = rng.rand(b, f, t, 1).astype("float32")
+    mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
+    _, loss1 = fit_packed_unet_single(batch, target, mask, steps=3)
+    _, loss8 = fit_packed_unet_dp(batch, target, mask, make_mesh(8), steps=3)
+    assert abs(loss8 - loss1) < 1e-6, (loss8, loss1)
+
+
+def test_packed_flagship_t_sharding_halo_matches_single_device():
+    """T-axis sharding of the W-packed model: the band gather's neighbor-
+    block column reads (ops/packedconv.py:_gather_xb) cross the shard
+    boundary, forcing an SPMD halo exchange — results must still match."""
+    import numpy as np
+
+    from audio_inpainting_tpu.parallel import (
+        fit_packed_unet_single, fit_packed_unet_spatial, make_mesh_2d)
+
+    rng = np.random.RandomState(4)
+    b, f, t = 4, 8, 128  # t/tp = 64 per shard (divides 32)
+    batch = rng.rand(b, f, t, 1).astype("float32")
+    target = rng.rand(b, f, t, 1).astype("float32")
+    mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
+    _, loss1 = fit_packed_unet_single(batch, target, mask, steps=3)
+    mesh = make_mesh_2d(4, 2)
+    _, loss_tp = fit_packed_unet_spatial(batch, target, mask, mesh, steps=3)
+    assert abs(loss_tp - loss1) < 1e-6, (loss_tp, loss1)

@@ -14,7 +14,8 @@ from audio_inpainting_tpu.io import write_wav
 from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
 from audio_inpainting_tpu.methods.gp import GPConfig
 from audio_inpainting_tpu.pipelines import run_part0, run_part1, run_part2
-from audio_inpainting_tpu.pipelines.registry import ASSET_REGISTRY
+from audio_inpainting_tpu.pipelines.registry import (ASSET_REGISTRY,
+                                                     VIZ_ARTIFACTS)
 
 
 @pytest.fixture(scope="module")
@@ -55,6 +56,9 @@ def test_asset_contract_complete(all_results, assets_dir):
                 p = os.path.join(assets_dir, rel)
                 if not os.path.exists(p):
                     missing.append(rel)
+    for rel in VIZ_ARTIFACTS:
+        if not os.path.exists(os.path.join(assets_dir, rel)):
+            missing.append(rel)
     assert not missing, missing
 
 
