@@ -52,6 +52,34 @@ class GANTrainConfig:
     adv_weight: float = 0.01
     scan_chunk: int = 100
     bf16: bool = False         # bf16 conv compute (params/loss stay f32)
+    # lane-packed Discriminator (same param tree as the standard class).
+    # Measured v5e GAN epoch (tools/gan_epoch_time.py): 19.2 ms with the
+    # unpacked D (C=1 input lanes 1/128 occupied + relayouts) vs 12.7 ms
+    # packed — the round-2 "packed D slower" note predates the packed
+    # ConvTranspose landing and is obsolete.
+    packed_d: bool = True
+    # Average the eval-mode G output over the last `avg_tail` scan-chunk
+    # boundaries (0/1 = reference-exact single final inference,
+    # main_gan_gap.py:150). Output-space self-ensembling: the per-epoch fill
+    # fluctuates around the mode late in training, and averaging K snapshots
+    # cancels that noise. (Weight-space EMA was measured instead first and
+    # is catastrophic here — hole-L1 went 0.02 -> 0.14-1.9 across 5 seeds —
+    # averaging a GAN's nonconvex trajectory + stale BN stats; see
+    # docs/DESIGN.md negative results.)
+    avg_tail: int = 0
+    # Retrain once with a folded key if the hole-L1 of the composite vs the
+    # real spectrogram (a training input, main_gan_gap.py:125) exceeds this —
+    # the measured signature of mode collapse (healthy draws <= 0.031,
+    # collapsed >= 0.040 in norm units across every 5-seed sweep). 0 = off.
+    retry_l1: float = 0.0
+
+
+def _d_model(cfg):
+    if getattr(cfg, "packed_d", False):
+        from ..models.packed_unet import PackedDiscriminator
+
+        return PackedDiscriminator(dtype=_dtype(cfg))
+    return Discriminator(dtype=_dtype(cfg))
 
 
 def _dtype(cfg) -> jnp.dtype:
@@ -149,12 +177,10 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
 # ------------------------------------------------------------------ GAN ----
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
-                   donate_argnums=(0,))
-def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
-                     n_epochs: int):
+def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
+                   n_epochs: int):
     g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
-    d_model = Discriminator(dtype=_dtype(cfg))
+    d_model = _d_model(cfg)
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
     inv = 1.0 - mask
     rec_inv = inv * valid        # L1 only over the unpadded extent
@@ -225,6 +251,15 @@ def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
     return jax.lax.scan(epoch, train_state, None, length=n_epochs)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
+                   donate_argnums=(0,))
+def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
+                     n_epochs: int):
+    return _gan_scan_core(train_state, inp, real, mask, valid, cfg, n_epochs)
+
+
+
+
 def gan_train_restore(input_norm, real_norm, mask,
                       cfg: GANTrainConfig = GANTrainConfig(),
                       key: jax.Array | int = 0):
@@ -245,27 +280,46 @@ def gan_train_restore(input_norm, real_norm, mask,
     inp, real, msk = _nhwc(inp2d), _nhwc(real2d), _nhwc(msk2d)
     vld = _nhwc(_valid4(f0, t0))
 
-    kg, kd = jax.random.split(key)
     g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
-    d_model = Discriminator(dtype=_dtype(cfg))
-    g_vars = g_model.init(kg, inp, True)
-    d_vars = d_model.init(kd, inp, True)
+    d_model = _d_model(cfg)
     tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
-    state = (g_vars["params"], g_vars["batch_stats"], tx.init(g_vars["params"]),
-             d_vars["params"], d_vars["batch_stats"], tx.init(d_vars["params"]))
+    eval_fake = jax.jit(lambda gp, gbs: g_model.apply(
+        {"params": gp, "batch_stats": gbs}, inp, False))
+    hole = (1.0 - msk) * vld
+    hole_sum = float(jnp.sum(hole))
 
-    d_hist, g_hist = [], []
-    done = 0
-    while done < cfg.epochs:
-        n = min(cfg.scan_chunk, cfg.epochs - done)
-        state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, vld, cfg, n)
-        d_hist.append(dl)
-        g_hist.append(gl)
-        done += n
+    def train_once(k):
+        kg, kd = jax.random.split(k)
+        g_vars = g_model.init(kg, inp, True)
+        d_vars = d_model.init(kd, inp, True)
+        state = (g_vars["params"], g_vars["batch_stats"],
+                 tx.init(g_vars["params"]), d_vars["params"],
+                 d_vars["batch_stats"], tx.init(d_vars["params"]))
+        d_hist, g_hist, snaps = [], [], []
+        done, chunks_left = 0, -(-cfg.epochs // cfg.scan_chunk)
+        while done < cfg.epochs:
+            n = min(cfg.scan_chunk, cfg.epochs - done)
+            state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, vld,
+                                               cfg, n)
+            d_hist.append(dl)
+            g_hist.append(gl)
+            done += n
+            chunks_left -= 1
+            if 0 < chunks_left < cfg.avg_tail:
+                # eval-mode snapshot at this chunk boundary (the final
+                # boundary's output is added below, outside the loop)
+                snaps.append(eval_fake(state[0], state[1]))
+        # final inference in eval mode (running stats), reference :150-153
+        snaps.append(eval_fake(state[0], state[1]))
+        fake = snaps[0] if len(snaps) == 1 else (
+            sum(snaps[1:], snaps[0]) / float(len(snaps)))
+        final = inp * msk + fake * (1.0 - msk)
+        return final, (jnp.concatenate(d_hist), jnp.concatenate(g_hist))
 
-    gp, gbs = state[0], state[1]
-    # final inference in eval mode (running batch stats), reference :150-153
-    fake = PackedGeneratorUNet(dtype=_dtype(cfg)).apply(
-        {"params": gp, "batch_stats": gbs}, inp, False)
-    final = inp * msk + fake * (1.0 - msk)
-    return final[0, :f0, :t0, 0], (jnp.concatenate(d_hist), jnp.concatenate(g_hist))
+    final, hist = train_once(key)
+    if cfg.retry_l1 > 0.0:
+        l1 = float(jnp.sum(jnp.abs((final - real) * hole))) / hole_sum
+        if l1 > cfg.retry_l1:
+            # measured mode-collapse signature; one retrain on a fresh draw
+            final, hist = train_once(jax.random.fold_in(key, 1))
+    return final[0, :f0, :t0, 0], hist

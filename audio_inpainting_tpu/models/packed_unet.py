@@ -21,9 +21,9 @@ import jax.numpy as jnp
 
 from ..ops.packedconv import (B, channel_affine_packed, channel_stats_packed,
                               conv1x1_packed, conv3x3_packed_auto,
-                              conv3x3_packed2_auto, conv4x4s2_packed,
-                              conv_transpose2x2_packed, max_pool_2x2_packed,
-                              pack, unpack)
+                              conv3x3_packed2_auto, conv4x4s2_packed_auto,
+                              conv_transpose2x2_packed_auto,
+                              max_pool_2x2_packed, pack, unpack)
 
 
 class PackedConv3x3(nn.Module):
@@ -140,8 +140,8 @@ class PackedConvTranspose2x2(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        y = conv_transpose2x2_packed(xp.astype(self.dtype),
-                                     kernel.astype(self.dtype))
+        y = conv_transpose2x2_packed_auto(xp.astype(self.dtype),
+                                          kernel.astype(self.dtype))
         return y + jnp.tile(bias, B).astype(y.dtype)[None, None, None, :]
 
 
@@ -231,7 +231,7 @@ class _PackedConv4x4s2(nn.Module):
                 ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias.astype(y.dtype)
-        y = conv4x4s2_packed(xp.astype(self.dtype), kernel)
+        y = conv4x4s2_packed_auto(xp.astype(self.dtype), kernel)
         return y + jnp.tile(bias, B).astype(y.dtype)[None, None, None, :]
 
 

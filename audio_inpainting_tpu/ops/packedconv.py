@@ -181,6 +181,63 @@ def conv3x3_packed_dense(xp: jax.Array, k: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def dense_transpose2x2_kernel(k: jax.Array) -> jax.Array:
+    """(2, 2, Ci, Co) -> (2, 2, B*Ci, B*Co) dense twin of the packed
+    ConvTranspose (kernel 2x2, stride 2).
+
+    Output column 2w'+dcb, lane (j, co) comes from input column w', lane
+    (u, ci) with tap k[dr, dc] where j = 2u + dc - dcb*B — the low half of
+    the input lanes feeds the even output block, the high half the odd.
+    lax.conv_transpose applies the kernel spatially flipped relative to
+    this scatter view (same convention note as conv_transpose2x2_packed):
+    the taps flip inside each lane block AND the (dr, dcb) placement flips
+    — verified exact against conv_transpose2x2_packed / nn.ConvTranspose."""
+    _, _, ci, co = k.shape
+    kf = jnp.flip(k, (0, 1))
+    kt = jnp.zeros((2, 2, B * ci, B * co), k.dtype)
+    for dcb in range(2):
+        for u in range(B):
+            for dc in range(2):
+                j = 2 * u + dc - dcb * B
+                if 0 <= j < B:
+                    kt = kt.at[:, dcb, u * ci:(u + 1) * ci,
+                               j * co:(j + 1) * co].set(kf[:, dc])
+    return jnp.flip(kt, (0, 1))
+
+
+def conv_transpose2x2_packed_dense(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """conv_transpose2x2_packed as one plain XLA transposed conv."""
+    kt = dense_transpose2x2_kernel(k).astype(xp.dtype)
+    return jax.lax.conv_transpose(
+        xp, kt, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def dense_conv4x4s2_kernel(k: jax.Array) -> jax.Array:
+    """(4, 4, Ci, Co) -> (4, 4, B*Ci, B*Co) dense twin of the packed
+    stride-2 4x4 conv (the reference discriminator's op).
+
+    Output block w'' reads global positions 2(B*w''+j)+dw-1 = in block
+    2w''+q, lane r, where q*B + r = 2j + dw - 1; q in {-1..2} maps to the
+    4-wide W' kernel extent (pad 1 each side, stride 2)."""
+    _, _, ci, co = k.shape
+    kd = jnp.zeros((4, 4, B * ci, B * co), k.dtype)
+    for j in range(B):
+        for dw in range(4):
+            p = 2 * j + dw - 1
+            q, r = p // B, p % B
+            kd = kd.at[:, q + 1, r * ci:(r + 1) * ci,
+                       j * co:(j + 1) * co].set(k[:, dw])
+    return kd
+
+
+def conv4x4s2_packed_dense(xp: jax.Array, k: jax.Array) -> jax.Array:
+    """conv4x4s2_packed as one plain XLA stride-2 conv. Wb must be even."""
+    kd = dense_conv4x4s2_kernel(k).astype(xp.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kd, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 # Dispatch for the Pallas band-conv kernels (ops/pallas/pconv.py). Measured
 # OFF: the kernels are individually correct (equivalence-tested) but the GAN
 # epoch REGRESSED 19.2 -> 39.1 ms with them wired in — the opaque custom
@@ -200,14 +257,56 @@ def _use_pallas() -> bool:
             and jax.device_count() == 1)
 
 
+# Per-op TPU dispatch between the band-matmul packed convs and their
+# dense-kernel twins (one plain XLA conv with the band structure baked into
+# a (kh,kw,B*Ci,B*Co) kernel). The dense form burns MXU FLOPs on structural
+# zeros (3x3: 3B/(B+2) = 2.4x; 4x4s2: 4B/(2B+2) = 1.8x) but is a single
+# fusable/SPMD-shardable HLO. Measured on v5e (tools/gan_epoch_time.py,
+# GAN epoch device time): all-dense REGRESSED 19.2 -> 22.7 ms/epoch, so
+# each op ships whichever form measured faster (set below); CPU always
+# takes the band path (the oracle the tests pin).
+# AIT_PACKED_DENSE overrides for A/Bs: "0" none, "1" all, or a comma list
+# from {c3, t2, s2}.
+_DENSE_DEFAULT = frozenset()
+
+
+def _use_dense(op: str) -> bool:
+    import os
+
+    if jax.default_backend() != "tpu":
+        return False
+    env = os.environ.get("AIT_PACKED_DENSE")
+    if env is None:
+        return op in _DENSE_DEFAULT
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return op in env.split(",")
+
+
 def conv3x3_packed_auto(xp: jax.Array, k: jax.Array) -> jax.Array:
-    """conv3x3_packed via the fused Pallas kernel on single-chip TPU (x read
-    once, band gather in VMEM), XLA band conv elsewhere. Same numerics."""
+    """Fastest packed conv per backend (see _use_dense); Pallas only on
+    explicit opt-in."""
     if _use_pallas():
         from .pallas.pconv import conv3x3_packed_pl
 
         return conv3x3_packed_pl(xp, k)
+    if _use_dense("c3"):
+        return conv3x3_packed_dense(xp, k)
     return conv3x3_packed(xp, k)
+
+
+def conv_transpose2x2_packed_auto(xp: jax.Array, k: jax.Array) -> jax.Array:
+    if _use_dense("t2"):
+        return conv_transpose2x2_packed_dense(xp, k)
+    return conv_transpose2x2_packed(xp, k)
+
+
+def conv4x4s2_packed_auto(xp: jax.Array, k: jax.Array) -> jax.Array:
+    if _use_dense("s2"):
+        return conv4x4s2_packed_dense(xp, k)
+    return conv4x4s2_packed(xp, k)
 
 
 def conv3x3_packed2_auto(xa: jax.Array, xb_: jax.Array, ka: jax.Array,

@@ -86,3 +86,39 @@ def test_gan_trains_and_composites():
     err = np.linalg.norm(final[:, 40:56] - v[:, 40:56])
     base = np.linalg.norm(inp[:, 40:56] - v[:, 40:56])
     assert err < 0.7 * base, (err, base)
+
+
+def test_gan_avg_tail_composites_snapshot_mean():
+    """avg_tail=K averages the eval-mode output over the last K chunk
+    boundaries; kept region stays exactly the input either way, and the fill
+    differs from the single-snapshot (reference-exact) run."""
+    v = _toy_spec(seed=3) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)
+    out_avg, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10, avg_tail=3),
+        key=0)
+    out_one, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10), key=0)
+    out_avg, out_one = np.asarray(out_avg), np.asarray(out_one)
+    np.testing.assert_allclose(out_avg[:, :40], inp[:, :40], atol=1e-6)
+    assert not np.allclose(out_avg[:, 40:56], out_one[:, 40:56])
+
+
+def test_gan_retry_l1_retrains_on_bad_draw():
+    """retry_l1 below any reachable hole-L1 forces the one-retry path; the
+    retrained (folded-key) result differs from the first draw and is still a
+    valid composite (kept region untouched)."""
+    v = _toy_spec(seed=4) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)
+    out_retry, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=20, scan_chunk=10,
+                                     retry_l1=1e-9), key=0)
+    out_plain, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=20, scan_chunk=10), key=0)
+    out_retry = np.asarray(out_retry)
+    np.testing.assert_allclose(out_retry[:, :40], inp[:, :40], atol=1e-6)
+    assert not np.allclose(out_retry, np.asarray(out_plain))

@@ -75,3 +75,54 @@ def test_dense_band_kernel_matches_band_conv(h, w, ci, co):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dgot[1]), np.asarray(dref[1]),
                                atol=1e-3, rtol=1e-4)
+
+
+def _assert_op_pair(ref_op, dense_op, xp, k, datol=1e-3):
+    """Forward + both gradients of the dense-kernel twin == band-matmul op."""
+    rng = np.random.RandomState(3)
+    ref = ref_op(xp, k)
+    got = dense_op(xp, k)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    g = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+    dref = jax.grad(lambda a, b: jnp.sum(ref_op(a, b) * g),
+                    argnums=(0, 1))(xp, k)
+    dgot = jax.grad(lambda a, b: jnp.sum(dense_op(a, b) * g),
+                    argnums=(0, 1))(xp, k)
+    np.testing.assert_allclose(np.asarray(dgot[0]), np.asarray(dref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dgot[1]), np.asarray(dref[1]),
+                               atol=datol, rtol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,ci,co", [(8, 16, 16, 8), (13, 32, 64, 32),
+                                       (5, 48, 32, 16)])
+def test_dense_transpose2x2_matches_packed(h, w, ci, co):
+    """conv_transpose2x2_packed_dense (one lax.conv_transpose with the lane
+    scatter baked into a (2,2,B*Ci,B*Co) kernel) == the interleaving-matmul
+    path, forward and both gradients."""
+    from audio_inpainting_tpu.ops.packedconv import (
+        conv_transpose2x2_packed, conv_transpose2x2_packed_dense)
+
+    rng = np.random.RandomState(11)
+    xp = pack(jnp.asarray(rng.randn(1, h, w, ci), jnp.float32))
+    k = jnp.asarray(rng.randn(2, 2, ci, co), jnp.float32)
+    _assert_op_pair(conv_transpose2x2_packed, conv_transpose2x2_packed_dense,
+                    xp, k)
+
+
+@pytest.mark.parametrize("h,w,ci,co", [(8, 32, 16, 32), (14, 64, 32, 64),
+                                       (6, 96, 16, 16)])
+def test_dense_conv4x4s2_matches_packed(h, w, ci, co):
+    """conv4x4s2_packed_dense (one plain stride-2 XLA conv with the boundary
+    -column band structure in a (4,4,B*Ci,B*Co) kernel) == the banded-matmul
+    path (the reference discriminator's op), forward and both gradients."""
+    from audio_inpainting_tpu.ops.packedconv import (conv4x4s2_packed,
+                                                     conv4x4s2_packed_dense)
+
+    rng = np.random.RandomState(13)
+    xp = pack(jnp.asarray(rng.randn(1, h, w, ci), jnp.float32))
+    k = jnp.asarray(rng.randn(4, 4, ci, co), jnp.float32)
+    _assert_op_pair(conv4x4s2_packed, conv4x4s2_packed_dense, xp, k,
+                    datol=3e-3)

@@ -206,6 +206,88 @@ def test_plms_constant_eps_converges_to_x0():
     np.testing.assert_allclose(np.asarray(x), np.asarray(want), atol=1e-4)
 
 
+def test_plms_golden_vectors_distinct_eps():
+    """Pin the PLMS algebra with golden vectors from an INDEPENDENT scalar
+    transcription of the PNDM update equations (paper eq. phi + the
+    Adams-Bashforth warmup diffusers uses with skip_prk_steps=True).
+
+    Every eps fed in is distinct, so each multistep coefficient
+    (1/2, 3/2, 23/16/5, 55/59/37/9) contributes a different value — the
+    constant-eps convergence test above cannot see a coefficient slip
+    (orders collapse when all eps are equal); this one can. Literal goldens
+    are from the float64 scalar reference below, NOT from plms_step."""
+    cfg = SchedulerConfig()
+    acp_np = np.cumprod(
+        1.0 - np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
+                          cfg.num_train_timesteps, dtype=np.float64) ** 2)
+    # schedule spot values (independent of alphas_cumprod under test)
+    np.testing.assert_allclose(acp_np[[1, 801, 901]],
+                               [0.9982960278384514, 0.03654652460771403,
+                                0.014004897893943923], rtol=1e-12)
+
+    ratio = 100
+    table = plms_timesteps(10, cfg)
+    assert table.tolist() == [901, 801, 801, 701, 601, 501, 401, 301, 201,
+                              101, 1]
+    eps_seq = [np.cos(0.7 * i) for i in range(len(table))]
+
+    def phi(sample, t_eval, t_prev, eps_p):
+        a_t = acp_np[t_eval]
+        a_prev = acp_np[t_prev] if t_prev >= 0 else acp_np[0]
+        den = a_t * np.sqrt(1.0 - a_prev) + np.sqrt(
+            a_t * (1.0 - a_t) * a_prev)
+        return np.sqrt(a_prev / a_t) * sample - (a_prev - a_t) * eps_p / den
+
+    x_ref, ets, counter, cur = 0.5, [], 0, None
+    ref_traj = []
+    for i, t in enumerate(table):
+        eps = eps_seq[i]
+        if counter != 1:
+            ets.append(eps)
+            t_prev, t_eval, sample = t - ratio, t, x_ref
+        else:
+            t_prev, t_eval, sample = t, t + ratio, cur
+        if len(ets) == 1 and counter == 0:
+            eps_p, cur = eps, x_ref
+        elif len(ets) == 1 and counter == 1:
+            eps_p = (eps + ets[-1]) / 2.0
+        elif len(ets) == 2:
+            eps_p = (3.0 * ets[-1] - ets[-2]) / 2.0
+        elif len(ets) == 3:
+            eps_p = (23.0 * ets[-1] - 16.0 * ets[-2] + 5.0 * ets[-3]) / 12.0
+        else:
+            eps_p = (55.0 * ets[-1] - 59.0 * ets[-2] + 37.0 * ets[-3]
+                     - 9.0 * ets[-4]) / 24.0
+        x_ref = phi(sample, t_eval, t_prev, eps_p)
+        counter += 1
+        ref_traj.append(x_ref)
+
+    # the same trajectory, hard-pinned (float64 reference values)
+    np.testing.assert_allclose(
+        [ref_traj[0], ref_traj[1], ref_traj[2], ref_traj[3], ref_traj[10]],
+        [0.18520281735902966, 0.25839600914841454, 0.5121650589659684,
+         1.0432976046937008, 3.0166211302403267], rtol=1e-12)
+
+    acp = alphas_cumprod(cfg)
+    x = jnp.float32(0.5)
+    state = plms_init(())
+    for i, t in enumerate(table):
+        state, x = plms_step(state, x, jnp.float32(eps_seq[i]),
+                             jnp.int32(t), 10, acp, cfg)
+        np.testing.assert_allclose(float(x), ref_traj[i], atol=3e-6,
+                                   rtol=3e-6, err_msg=f"step {i} (t={t})")
+
+
+def test_add_noise_golden():
+    """add_noise (the strength-1.0 init) against hand-computed values."""
+    acp = alphas_cumprod(SchedulerConfig())
+    got = add_noise(jnp.float32(1.0), jnp.float32(-2.0), jnp.int32(901), acp)
+    a = 0.014004897893943923
+    np.testing.assert_allclose(float(got),
+                               np.sqrt(a) - 2.0 * np.sqrt(1.0 - a),
+                               rtol=1e-5)
+
+
 # ------------------------------------------------------------- pipeline ----
 
 

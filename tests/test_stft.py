@@ -109,3 +109,30 @@ def test_griffin_lim_reconstructs_sinusoid():
     mx = np.asarray(mag)
     rel = np.linalg.norm(my - mx) / np.linalg.norm(mx)
     assert rel < 0.15, rel
+
+
+def test_griffin_lim_fused_iteration_matches_composition():
+    """The row-space fused Griffin-Lim body (ops/griffin_lim.py:_iter_fused)
+    is the SAME computation as stft(istft(z)) — identical op order, so the
+    match is to f32 round-off — including at the production unaligned length
+    (length % hop != 0) and at an exactly hop-aligned length."""
+    from audio_inpainting_tpu.ops.griffin_lim import _fused_ok, _iter_fused
+    from audio_inpainting_tpu.ops.stft import (hann_window, istft,
+                                               overlap_add, stft)
+
+    rng = np.random.RandomState(0)
+    for n_fft, hop, length in [(256, 64, 5000), (256, 64, 64 * 78),
+                               (128, 32, 3001)]:
+        cfg = torch_stft_config(n_fft, hop)
+        x = rng.randn(length).astype(np.float32)
+        z = stft(jnp.asarray(x), cfg)
+        n_frames = z.shape[1]
+        assert _fused_ok(cfg, length, n_frames)
+        win = hann_window(n_fft)
+        den = overlap_add(
+            jnp.broadcast_to(win * win, (n_frames, n_fft)), hop, None)
+        den_safe = jnp.where(den > 1e-11, den, 1.0)
+        got = np.asarray(_iter_fused(z, cfg, length, win, den_safe))
+        ref = np.asarray(stft(istft(z, cfg, length), cfg)[:, :n_frames])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

@@ -89,8 +89,16 @@ def run_variant(name: str, cfg: GANTrainConfig, sr, data, damaged, n, gs, ge,
 
 
 VARIANTS = {
-    "bf16": GANTrainConfig(bf16=True),
+    "bf16": GANTrainConfig(bf16=True),                     # production default
+    "bf16-pd": GANTrainConfig(bf16=True, packed_d=True),
+    "bf16-ud": GANTrainConfig(bf16=True, packed_d=False),
+    "bf16-avg4": GANTrainConfig(bf16=True, scan_chunk=250, avg_tail=4),
+    "bf16-avg6": GANTrainConfig(bf16=True, scan_chunk=100, avg_tail=6),
+    "bf16-c500": GANTrainConfig(bf16=True, scan_chunk=500),
+    "bf16-avg3-c500": GANTrainConfig(bf16=True, scan_chunk=500, avg_tail=3),
     "f32": GANTrainConfig(bf16=False),
+    "f32-pd": GANTrainConfig(bf16=False, packed_d=True),
+    "f32-ud": GANTrainConfig(bf16=False, packed_d=False),
     "l1only": GANTrainConfig(bf16=False, l1_weight=1.0, adv_weight=0.0),
     "l1only-bf16": GANTrainConfig(bf16=True, l1_weight=1.0, adv_weight=0.0),
 }
@@ -99,8 +107,11 @@ VARIANTS = {
 def main():
     names = sys.argv[1:] or list(VARIANTS)
     ctx = prepare()
+    seeds = [int(s) for s in
+             os.environ.get("GAN_AB_SEEDS", "0").split(",")]
     for name in names:
-        run_variant(name, VARIANTS[name], *ctx)
+        for seed in seeds:
+            run_variant(f"{name}@s{seed}", VARIANTS[name], *ctx, seed=seed)
 
 
 if __name__ == "__main__":
