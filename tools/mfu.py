@@ -15,11 +15,11 @@ Usage: python tools/mfu.py [--out mfu.json]   (requires the real TPU)
 
 from __future__ import annotations
 
-import collections
 import glob
 import gzip
 import json
 import os
+import shutil
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
@@ -48,32 +48,36 @@ def device_ms_from_trace(trace_dir: str) -> float:
     return total / 1e3
 
 
-def measure(name: str, fn, args, iters: int, flops_per_iter: float | None = None):
-    """Trace `fn(*args)` (which internally runs `iters` iterations) and
-    combine with XLA cost analysis. Returns the row dict."""
-    jitted = jax.jit(fn)
-    lowered = jitted.lower(*args)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
+def _fetch_scalar(r) -> None:
+    """Force device completion by fetching ONE scalar from the result tree
+    (block_until_ready is a no-op over the axon tunnel)."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    float(jnp.sum(jnp.asarray(leaf, dtype=jnp.float32)))
+
+
+def measure(name: str, fn, args, iters: int,
+            cost_fn=None, cost_args=None):
+    """Trace `fn(*args)` (which internally runs `iters` iterations) for
+    DEVICE TIME, and lower `cost_fn(*cost_args)` — a single-iteration
+    variant — for FLOPs / bytes (XLA's cost analysis counts a scan/while
+    body ONCE regardless of trip count, so per-iter numbers must come from
+    an n=1 program, not the chained one). Returns the row dict."""
+    if cost_fn is None:
+        cost_fn, cost_args = fn, args
+    ca = jax.jit(cost_fn).lower(*cost_args).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    xla_flops = float(ca.get("flops", 0.0))
-    xla_bytes = float(ca.get("bytes accessed", 0.0))
-    # warm
-    r = jitted(*args)
-    float(jnp.sum(jnp.asarray(r[0] if isinstance(r, tuple) else r),
-                  dtype=jnp.float32))
-    tdir = os.path.join(TRACE_DIR, name.replace("/", "_").replace(" ", "_"))
-    os.system(f"rm -rf {tdir}")
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    jitted = jax.jit(fn)
+    _fetch_scalar(jitted(*args))  # warm
+    tdir = os.path.join(TRACE_DIR,
+                        "".join(c if c.isalnum() else "_" for c in name))
+    shutil.rmtree(tdir, ignore_errors=True)
     with jax.profiler.trace(tdir):
-        r = jitted(*args)
-        float(jnp.sum(jnp.asarray(r[0] if isinstance(r, tuple) else r),
-                      dtype=jnp.float32))
-    ms_total = device_ms_from_trace(tdir)
-    ms = ms_total / iters
-    flops = (flops_per_iter if flops_per_iter is not None
-             else xla_flops / iters)
-    byts = xla_bytes / iters
+        _fetch_scalar(jitted(*args))
+    ms = device_ms_from_trace(tdir) / iters
     tflops = flops / (ms / 1e3) / 1e12 if ms > 0 else 0.0
     gbs = byts / (ms / 1e3) / 1e9 if ms > 0 else 0.0
     bound = ("HBM" if gbs / PEAK_GBS > tflops / PEAK_TFLOPS else "MXU")
@@ -124,19 +128,22 @@ def main() -> int:
         k = jnp.asarray(rng.randn(3, 3, ci, co), jnp.float32)
         rows.append(measure(f"conv3x3 band fwd {label} C{ci}",
                             chain(conv3x3_packed, xp, k, N),
-                            (xp, k), N))
+                            (xp, k), N,
+                            cost_fn=conv3x3_packed, cost_args=(xp, k)))
 
         def fb(c, kk):
             y, vjp = jax.vjp(lambda a, b: conv3x3_packed(a, b), c, kk)
             dx, _ = vjp(y)
             return dx
         rows.append(measure(f"conv3x3 band fwd+bwd {label} C{ci}",
-                            chain(fb, xp, k, N), (xp, k), N))
+                            chain(fb, xp, k, N), (xp, k), N,
+                            cost_fn=fb, cost_args=(xp, k)))
     # dense twin at L0 for comparison (2.4x structural-zero FLOPs)
     xp = pack(jnp.asarray(rng.randn(1, 516, 1728, 16), DT))
     k = jnp.asarray(rng.randn(3, 3, 16, 16), jnp.float32)
     rows.append(measure("conv3x3 dense fwd L0 C16 (comparison)",
-                        chain(conv3x3_packed_dense, xp, k, N), (xp, k), N))
+                        chain(conv3x3_packed_dense, xp, k, N), (xp, k), N,
+                        cost_fn=conv3x3_packed_dense, cost_args=(xp, k)))
 
     # --- discriminator stride-2 conv + generator up-conv (shipped band) ---
     from audio_inpainting_tpu.ops.packedconv import (conv4x4s2_packed,
@@ -153,14 +160,18 @@ def main() -> int:
             return c
         return many
     rows.append(measure("conv4x4s2 band fwd (D op)",
-                        s2chain(conv4x4s2_packed), (xp, k4), N))
+                        s2chain(conv4x4s2_packed), (xp, k4), N,
+                        cost_fn=conv4x4s2_packed, cost_args=(xp, k4)))
     rows.append(measure("conv4x4s2 dense fwd (comparison)",
-                        s2chain(conv4x4s2_packed_dense), (xp, k4), N))
+                        s2chain(conv4x4s2_packed_dense), (xp, k4), N,
+                        cost_fn=conv4x4s2_packed_dense, cost_args=(xp, k4)))
 
     xp2 = pack(jnp.asarray(rng.randn(1, 129, 432, 64), DT))
     kt = jnp.asarray(rng.randn(2, 2, 64, 32), jnp.float32)
     rows.append(measure("conv_transpose2x2 band fwd (G up)",
-                        s2chain(conv_transpose2x2_packed), (xp2, kt), N))
+                        s2chain(conv_transpose2x2_packed), (xp2, kt), N,
+                        cost_fn=conv_transpose2x2_packed,
+                        cost_args=(xp2, kt)))
 
     # --- DFT matmul STFT of the 10 s clip ---
     x = jnp.asarray(rng.randn(441000), jnp.float32)
@@ -172,14 +183,18 @@ def main() -> int:
         c, _ = jax.lax.scan(body, x, None, length=10)
         return c
     rows.append(measure("stft 1024/256 10s clip (DFT matmul)", stft_mag_n,
-                        (x,), 10))
+                        (x,), 10,
+                        cost_fn=lambda x: jnp.abs(stft(x, cfg)),
+                        cost_args=(x,)))
 
     # --- NMF multiplicative-update fit (200 iters, bench shape) ---
     v = jnp.abs(jnp.asarray(rng.randn(513, 1723), jnp.float32))
     w0, h0 = _init_wh(jax.random.PRNGKey(0), jnp.mean(v), v.shape, 40)
     rows.append(measure("nmf MU fit 200it (513x1723, k=40)",
                         lambda v, w0, h0: _mu_fit(v, w0, h0, 200),
-                        (v, w0, h0), 200))
+                        (v, w0, h0), 200,
+                        cost_fn=lambda v, w0, h0: _mu_fit(v, w0, h0, 1),
+                        cost_args=(v, w0, h0)))
 
     # --- full GAN epoch and U-Net epoch (production configs) ---
     gcfg = GANTrainConfig(bf16=True, scan_chunk=100)  # production defaults
@@ -197,7 +212,10 @@ def main() -> int:
     rows.append(measure(
         "GAN epoch (G+D step, bf16 packed)",
         lambda s: _gan_train_chunk(s, inp, inp, msk, vld, gcfg, 100)[0][0],
-        (state,), 100))
+        (state,), 100,
+        cost_fn=lambda s: _gan_train_chunk(s, inp, inp, msk, vld,
+                                           gcfg, 1)[0][0],
+        cost_args=(state,)))
 
     ucfg = UNetTrainConfig(bf16=True, scan_chunk=100)
     from audio_inpainting_tpu.models.packed_unet import PackedSimpleUNet
@@ -206,7 +224,10 @@ def main() -> int:
     rows.append(measure(
         "U-Net epoch (masked MSE, bf16 packed)",
         lambda p, o: _unet_train_chunk(p, o, inp, inp, msk, vld, ucfg, 100)[0],
-        (up, uopt), 100))
+        (up, uopt), 100,
+        cost_fn=lambda p, o: _unet_train_chunk(p, o, inp, inp, msk, vld,
+                                               ucfg, 1)[0],
+        cost_args=(up, uopt)))
 
     out = {"peak_tflops_bf16": PEAK_TFLOPS, "peak_hbm_gbs": PEAK_GBS,
            "rows": rows}
