@@ -251,9 +251,13 @@ PCONV_USE_PALLAS = False
 
 
 def _use_pallas() -> bool:
-    """Pallas band conv only on explicit opt-in, single-device TPU (the
-    SPMD partitioner cannot shard the custom call; meshes keep XLA)."""
-    return (PCONV_USE_PALLAS and jax.default_backend() == "tpu"
+    """Pallas band conv only on explicit opt-in (module flag or
+    AIT_PCONV_PALLAS=1), single-device TPU (the SPMD partitioner cannot
+    shard the custom call; meshes keep XLA)."""
+    import os
+
+    on = PCONV_USE_PALLAS or os.environ.get("AIT_PCONV_PALLAS") == "1"
+    return (on and jax.default_backend() == "tpu"
             and jax.device_count() == 1)
 
 
