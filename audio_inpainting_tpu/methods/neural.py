@@ -31,6 +31,7 @@ import optax
 
 from ..models.packed_unet import PackedGeneratorUNet, PackedSimpleUNet
 from ..models.unet import Discriminator
+from ..ops import flatopt
 
 
 @dataclass(frozen=True)
@@ -40,6 +41,11 @@ class UNetTrainConfig:
     masked_loss: bool = True   # True: MSE on masked region only (mask variant)
     scan_chunk: int = 100      # epochs per device program (axon watchdog)
     bf16: bool = False         # bf16 conv compute (params/loss stay f32)
+    # Run Adam on ONE concatenated f32 vector instead of optax's per-leaf
+    # tree map (ops/flatopt.py): bitwise-identical math, ~4 fused HLOs per
+    # step instead of ~4 per parameter leaf. optax state format is kept at
+    # the chunk boundary.
+    flat_opt: bool = True
 
 
 @dataclass(frozen=True)
@@ -72,6 +78,8 @@ class GANTrainConfig:
     # the measured signature of mode collapse (healthy draws <= 0.031,
     # collapsed >= 0.040 in norm units across every 5-seed sweep). 0 = off.
     retry_l1: float = 0.0
+    # Flat-vector Adam (see UNetTrainConfig.flat_opt).
+    flat_opt: bool = True
 
 
 def _d_model(cfg):
@@ -125,6 +133,22 @@ def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
         if cfg.masked_loss:
             return jnp.sum((out * inv - tgt * inv) ** 2) / denom
         return jnp.sum(((out - tgt) * valid) ** 2) / denom
+
+    if cfg.flat_opt:
+        spec = flatopt.make_spec(params)
+
+        def epoch_flat(carry, _):
+            pf, fs = carry
+            loss, g = jax.value_and_grad(loss_fn)(flatopt.from_flat(pf, spec))
+            pf, fs = flatopt.adam_step(pf, flatopt.to_flat(g), fs, cfg.lr)
+            return (pf, fs), loss
+
+        carry0 = (flatopt.to_flat(params),
+                  flatopt.optax_to_flat(opt_state, spec))
+        (pf, fs), losses = jax.lax.scan(epoch_flat, carry0, None,
+                                        length=n_epochs)
+        return (flatopt.from_flat(pf, spec),
+                flatopt.flat_to_optax(fs, spec, opt_state), losses)
 
     def epoch(carry, _):
         p, st = carry
@@ -186,6 +210,23 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
     rec_inv = inv * valid        # L1 only over the unpadded extent
     rec_denom = jnp.sum(valid)
 
+    flat = cfg.flat_opt
+    if flat:
+        gp0, gbs0, gst0, dp0, dbs0, dst0 = train_state
+        g_spec, d_spec = flatopt.make_spec(gp0), flatopt.make_spec(dp0)
+        train_state = (flatopt.to_flat(gp0), gbs0,
+                       flatopt.optax_to_flat(gst0, g_spec),
+                       flatopt.to_flat(dp0), dbs0,
+                       flatopt.optax_to_flat(dst0, d_spec))
+
+    def opt_update(grad, st, p_carry):
+        """One Adam step; flat (fused) or optax per-leaf, same math."""
+        if flat:
+            return flatopt.adam_step(p_carry, flatopt.to_flat(grad), st,
+                                     cfg.lr, cfg.b1, cfg.b2)
+        upd, st = tx.update(grad, st, p_carry)
+        return optax.apply_updates(p_carry, upd), st
+
     # BCE from logits (the Discriminator returns logits): identical value to
     # sigmoid+BCE but saturation-stable — torch's BCELoss clamps logs at
     # -100 to survive this; the naive jnp formulation NaNs mid-training
@@ -194,7 +235,9 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
                         + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
     def epoch(carry, _):
-        gp, gbs, gst, dp, dbs, dst = carry
+        gpc, gbs, gst, dpc, dbs, dst = carry
+        gp = flatopt.from_flat(gpc, g_spec) if flat else gpc
+        dp = flatopt.from_flat(dpc, d_spec) if flat else dpc
 
         # ONE generator forward per epoch, like the reference
         # (main_gan_gap.py:130 computes `fake` once; both the D step and the
@@ -223,8 +266,8 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
 
         (d_loss, dbs_mid), d_grad = jax.value_and_grad(
             d_loss_fn, has_aux=True)(dp, dbs)
-        d_upd, dst = tx.update(d_grad, dst, dp)
-        dp = optax.apply_updates(dp, d_upd)
+        dpc, dst = opt_update(d_grad, dst, dpc)
+        dp = flatopt.from_flat(dpc, d_spec) if flat else dpc
 
         # --- G step: grad wrt `fake` through the UPDATED D (reference
         # order: optimizerD.step() precedes netD(completed) at :140),
@@ -243,12 +286,18 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
             g_downstream, has_aux=True)(fake)
         (g_grad,) = g_vjp((fake_grad, jax.tree_util.tree_map(
             jnp.zeros_like, gbs_new)))
-        g_upd, gst = tx.update(g_grad, gst, gp)
-        gp = optax.apply_updates(gp, g_upd)
+        gpc, gst = opt_update(g_grad, gst, gpc)
 
-        return (gp, gbs_new, gst, dp, dbs_new, dst), (d_loss, g_loss)
+        return (gpc, gbs_new, gst, dpc, dbs_new, dst), (d_loss, g_loss)
 
-    return jax.lax.scan(epoch, train_state, None, length=n_epochs)
+    carry, losses = jax.lax.scan(epoch, train_state, None, length=n_epochs)
+    if flat:
+        gpc, gbs, gst, dpc, dbs, dst = carry
+        carry = (flatopt.from_flat(gpc, g_spec), gbs,
+                 flatopt.flat_to_optax(gst, g_spec, gst0),
+                 flatopt.from_flat(dpc, d_spec), dbs,
+                 flatopt.flat_to_optax(dst, d_spec, dst0))
+    return carry, losses
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),

@@ -41,12 +41,18 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+def _enable_compilation_cache() -> None:
+    """Persistent compile cache — called from main() ONLY. Enabling it at
+    import time poisoned the test process (tests/test_bench_gates.py imports
+    this module): this jaxlib SEGFAULTS serializing/deserializing 8-device
+    CPU pjit executables, so the cache must never be active for the virtual
+    mesh tests."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 INPUT = os.environ.get("BENCH_INPUT", "/root/reference/vocals_accompaniment_10s.wav")
 ASSETS = os.environ.get("BENCH_ASSETS", "/tmp/bench_assets")
@@ -143,6 +149,8 @@ def comparable_seconds(res: dict) -> float:
 
 def main() -> int:
     from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
+
+    _enable_compilation_cache()
 
     diffusion_cfg = DiffusionConfig(train_steps=1500)
     diffusion_params = pretrain_diffusion(diffusion_cfg)

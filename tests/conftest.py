@@ -6,6 +6,20 @@ Must run before jax initializes, hence module scope in conftest.
 """
 
 import os
+import resource
+
+# XLA's CPU compiler recurses deeply on the biggest programs here (the GAN
+# scan chunk, 8-device SPMD of the packed models); with the default 8 MB
+# main-thread stack it SEGFAULTS in backend_compile_and_load once the
+# process has aged (deeper pytest/fixture frames eat into the headroom —
+# the full suite crashed there 4/4 runs, every crash in a compile of one of
+# the largest programs, each program fine in a fresh process). Lift the
+# soft stack limit before any compilation happens.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):  # not permitted: keep the inherited limit
+    pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -87,38 +87,64 @@ def test_stft_frame_parallel_matches_reference():
     np.testing.assert_allclose(np.asarray(im).T, z.imag, atol=2e-3)
 
 
-def test_packed_flagship_dp_matches_single_device():
-    """The production lane-packed U-Net trains identically on a dp mesh."""
-    import numpy as np
+# The packed-flagship mesh equivalences run in a FRESH subprocess: this
+# jaxlib's CPU client intermittently SEGFAULTS in backend_compile_and_load
+# when compiling these 8-device SPMD programs inside a long-lived process
+# that has already compiled dozens of other programs (each program passes
+# in a fresh process; tests/test_parallel.py alone is green, the full
+# suite crashed here 3/3 runs). Same isolation pattern as
+# __graft_entry__.dryrun_multichip. See docs/DESIGN.md round-3 infra note.
+_PACKED_EQUIV_SCRIPT = r"""
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
 
-    from audio_inpainting_tpu.parallel import (
-        fit_packed_unet_dp, fit_packed_unet_single, make_mesh)
+from audio_inpainting_tpu.parallel import (
+    fit_packed_unet_dp, fit_packed_unet_single, fit_packed_unet_spatial,
+    make_mesh, make_mesh_2d)
 
-    rng = np.random.RandomState(3)
-    b, f, t = 8, 8, 64
-    batch = rng.rand(b, f, t, 1).astype("float32")
-    target = rng.rand(b, f, t, 1).astype("float32")
-    mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
-    _, loss1 = fit_packed_unet_single(batch, target, mask, steps=3)
-    _, loss8 = fit_packed_unet_dp(batch, target, mask, make_mesh(8), steps=3)
-    assert abs(loss8 - loss1) < 1e-6, (loss8, loss1)
+rng = np.random.RandomState(3)
+b, f, t = 8, 8, 64
+batch = rng.rand(b, f, t, 1).astype("float32")
+target = rng.rand(b, f, t, 1).astype("float32")
+mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
+_, dp1 = fit_packed_unet_single(batch, target, mask, steps=3)
+_, dp8 = fit_packed_unet_dp(batch, target, mask, make_mesh(8), steps=3)
+
+rng = np.random.RandomState(4)
+b, f, t = 4, 8, 128  # t/tp = 64 per shard (divides 32)
+batch = rng.rand(b, f, t, 1).astype("float32")
+target = rng.rand(b, f, t, 1).astype("float32")
+mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
+_, tp1 = fit_packed_unet_single(batch, target, mask, steps=3)
+_, tp2 = fit_packed_unet_spatial(batch, target, mask, make_mesh_2d(4, 2),
+                                 steps=3)
+print(json.dumps({"dp": [dp1, dp8], "tp": [tp1, tp2]}))
+"""
 
 
-def test_packed_flagship_t_sharding_halo_matches_single_device():
-    """T-axis sharding of the W-packed model: the band gather's neighbor-
-    block column reads (ops/packedconv.py:_gather_xb) cross the shard
-    boundary, forcing an SPMD halo exchange — results must still match."""
-    import numpy as np
+def test_packed_flagship_mesh_equivalence():
+    """The production lane-packed U-Net trains identically on a dp mesh,
+    and under T-axis sharding where the band gather's neighbor-block column
+    reads (ops/packedconv.py:_gather_xb) cross the shard boundary, forcing
+    an SPMD halo exchange."""
+    import json
+    import os
+    import subprocess
+    import sys
 
-    from audio_inpainting_tpu.parallel import (
-        fit_packed_unet_single, fit_packed_unet_spatial, make_mesh_2d)
-
-    rng = np.random.RandomState(4)
-    b, f, t = 4, 8, 128  # t/tp = 64 per shard (divides 32)
-    batch = rng.rand(b, f, t, 1).astype("float32")
-    target = rng.rand(b, f, t, 1).astype("float32")
-    mask = (rng.rand(b, f, t, 1) > 0.3).astype("float32")
-    _, loss1 = fit_packed_unet_single(batch, target, mask, steps=3)
-    mesh = make_mesh_2d(4, 2)
-    _, loss_tp = fit_packed_unet_spatial(batch, target, mask, mesh, steps=3)
-    assert abs(loss_tp - loss1) < 1e-6, (loss_tp, loss1)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", _PACKED_EQUIV_SCRIPT],
+                         capture_output=True, text=True, env=env, cwd=repo,
+                         timeout=1200)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert abs(res["dp"][1] - res["dp"][0]) < 1e-6, res["dp"]
+    assert abs(res["tp"][1] - res["tp"][0]) < 1e-6, res["tp"]

@@ -33,7 +33,9 @@ from mfu import TRACE_DIR, device_ms_from_trace  # noqa: E402
 def main() -> int:
     packed_d = (sys.argv[1] if len(sys.argv) > 1 else "unpacked") == "packed"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    cfg = GANTrainConfig(bf16=True, scan_chunk=n, packed_d=packed_d)
+    flat = (sys.argv[3] if len(sys.argv) > 3 else "flat") == "flat"
+    cfg = GANTrainConfig(bf16=True, scan_chunk=n, packed_d=packed_d,
+                         flat_opt=flat)
     rng = np.random.RandomState(0)
     norm = jnp.asarray(rng.rand(513, 1723) * 2 - 1, jnp.float32)
     inp2d, (f0, t0) = _pad4(norm, value=-1.0)
@@ -53,14 +55,17 @@ def main() -> int:
         return s, float(dl[-1])
 
     state, _ = run(state)  # compile + warm
-    tdir = os.path.join(TRACE_DIR, f"gan_epoch_{os.environ.get('AIT_PACKED_DENSE', '1')}_{'pd' if packed_d else 'ud'}")
+    tdir = os.path.join(
+        TRACE_DIR,
+        f"gan_epoch_{os.environ.get('AIT_PACKED_DENSE', '1')}_"
+        f"{'pd' if packed_d else 'ud'}_{'fl' if flat else 'pl'}")
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         state, _ = run(state)
     ms = device_ms_from_trace(tdir)
     print(json.dumps({
         "dense": os.environ.get("AIT_PACKED_DENSE", "1"),
-        "packed_d": packed_d, "epochs": n,
+        "packed_d": packed_d, "flat_opt": flat, "epochs": n,
         "ms_per_epoch": round(ms / n, 3),
         "wall_1500_est_s": round(ms / n * 1500 / 1e3, 1)}))
     return 0
