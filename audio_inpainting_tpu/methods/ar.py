@@ -48,6 +48,11 @@ class ARConfig:
     order: int = 100
     alpha: float = 0.5
     texture: bool = True
+    # Chunked companion-matrix extrapolation: advance the recurrence
+    # ``chunk`` samples per scan step as three matmuls (see
+    # _extrapolate_chunked) instead of one dot per sample. 0 = off
+    # (sequential scan / Pallas VMEM kernel). Requires chunk >= order.
+    chunk: int = 0
     # Multiplier on the residual-sigma texture noise. 1.0 = reference
     # behavior (main3_AR_text.py:74 injects N(0, noise_std)); values < 1
     # trade some of the texture's spectral-energy fill (LSD win) for less
@@ -139,6 +144,80 @@ def _extrapolate_scan(ctxs: jax.Array, w: jax.Array, b: jax.Array,
     return preds.T  # (B, steps)
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "texture", "chunk"))
+def _extrapolate_chunked(ctxs: jax.Array, w: jax.Array, b: jax.Array,
+                         noise_std: jax.Array, valid: jax.Array,
+                         key: jax.Array, steps: int, texture: bool,
+                         chunk: int) -> jax.Array:
+    """Companion-matrix chunked AR extrapolation: k samples per scan step.
+
+    The per-sample recurrence x_t = w . s_t + b + sigma e_t is linear, so a
+    whole chunk of k outputs is an affine map of the entry state and the
+    chunk's noise draws:
+
+        x[0:k] = M s0  +  b q  +  sigma (L e[0:k])
+        s'     = x[k-order:k]                      (k >= order)
+
+    with M (k, order) the state impulse response, c the scalar impulse
+    response (c_0 = 1, c_m = w . c_{m-order..m-1}), q = cumsum(c), and L the
+    lower-triangular Toeplitz matrix of c. M, c are precomputed once with
+    two k-step scans; the main scan then runs ceil(steps/k) iterations of
+    three (k x order)/(k x k) matmuls on the MXU instead of ``steps``
+    scalar dot products — ~k-fold less sequential depth than the
+    per-sample form (reference main3_AR_text_gap.py:62-73 is one sklearn
+    predict() per sample). Same key/shape noise draw as _extrapolate_scan,
+    so per-sample noise matches the sequential path exactly.
+    """
+    B, C = ctxs.shape
+    p = w.shape[1]
+    k = chunk
+    assert k >= p, (k, p)
+    state0 = ctxs[:, C - p - 1 : C - 1]
+
+    # scalar impulse response c (B, k): response of x_{m} to e_0
+    def c_step(z, _):
+        cm = jnp.einsum("bo,bo->b", z, w)
+        return jnp.concatenate([z[:, 1:], cm[:, None]], axis=1), cm
+
+    z0 = jnp.zeros((B, p)).at[:, -1].set(1.0)
+    _, c_tail = jax.lax.scan(c_step, z0, None, length=k - 1)
+    c = jnp.concatenate([jnp.ones((1, B)), c_tail], axis=0).T    # (B, k)
+
+    # state response M (B, k, p): x_j = M[j] . s0 for the noiseless b=0 run
+    def m_step(S, _):
+        m = jnp.einsum("bo,bop->bp", w, S)
+        return jnp.concatenate([S[:, 1:, :], m[:, None, :]], axis=1), m
+
+    S0 = jnp.broadcast_to(jnp.eye(p, dtype=w.dtype), (B, p, p))
+    _, M = jax.lax.scan(m_step, S0, None, length=k)              # (k, B, p)
+    M = jnp.transpose(M, (1, 0, 2))                              # (B, k, p)
+
+    q = jnp.cumsum(c, axis=1)                                    # (B, k)
+    ii = jnp.arange(k)[:, None]
+    jj = jnp.arange(k)[None, :]
+    L = jnp.where(ii >= jj, c[:, jnp.where(ii >= jj, ii - jj, 0)], 0.0)
+
+    nchunks = -(-steps // k)
+    total = nchunks * k
+    eps = (jax.random.normal(key, (steps, B)) if texture
+           else jnp.zeros((steps, B)))
+    eps = jnp.pad(eps, ((0, total - steps), (0, 0)))
+    eps = jnp.transpose(eps.reshape(nchunks, k, B), (0, 2, 1))   # (n, B, k)
+    gain = jnp.where(valid, 1.0, 0.0)
+
+    def chunk_step(s, e):
+        x = (jnp.einsum("bkp,bp->bk", M, s,
+                        precision=jax.lax.Precision.HIGH)
+             + b[:, None] * q
+             + noise_std[:, None] * jnp.einsum(
+                 "bkj,bj->bk", L, e, precision=jax.lax.Precision.HIGH))
+        x = x * gain[:, None]
+        return x[:, k - p:], x
+
+    _, xs = jax.lax.scan(chunk_step, state0, eps)                # (n, B, k)
+    return jnp.transpose(xs, (1, 0, 2)).reshape(B, total)[:, :steps]
+
+
 @functools.partial(jax.jit, static_argnames=("context_len",))
 def _extract_contexts(signal: jax.Array, starts: jax.Array, ends: jax.Array,
                       context_len: int):
@@ -201,7 +280,10 @@ def _restore_once_fused(signal: jax.Array, starts: jax.Array,
     ctxs, pads = _extract_contexts(signal, starts, ends, cfg.context_len)
     w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
     std = std * cfg.texture_scale
-    if use_pallas:
+    if cfg.chunk >= cfg.order and cfg.chunk > 0:
+        preds = _extrapolate_chunked(ctxs, w, b, std, valid, key, max_len,
+                                     cfg.texture, cfg.chunk)
+    elif use_pallas:
         B, C = ctxs.shape
         order = cfg.order
         state0 = ctxs[:, C - order - 1 : C - 1]

@@ -106,6 +106,16 @@ class DiffusionConfig:
     fill_energy_ratio: float | None = 0.15
 
 
+# flax 0.12 does not jit Module.init; eager init dispatches every forward op
+# individually, costing seconds over the axon tunnel (see methods/neural.py).
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_ddpm_init(model, key, x, t):
+    import optax
+
+    params = model.init(key, x, t)["params"]
+    return params, optax.adam(1.0).init(params)  # adam init is lr-free
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"),
                    donate_argnums=(0, 1))
 def _train_chunk(params, opt_state, img, keep, key, cfg: DiffusionConfig,
@@ -210,15 +220,13 @@ def train_spectrogram_ddpm(images_u8: list[np.ndarray] | np.ndarray,
     (the bench pretrains on the damaged bench clip's INTACT regions only —
     never on the ground truth under the hole). Returns trained params.
     """
-    import optax
-
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     k_init, k_train = jax.random.split(key)
     model = DiffusionUNet(base=cfg.base_channels)
-    params = model.init(k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
-                        jnp.zeros((1,)))["params"]
-    opt_state = optax.adam(cfg.lr).init(params)
+    params, opt_state = _jit_ddpm_init(
+        model, k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
+        jnp.zeros((1,)))
 
     imgs = [jnp.asarray(np.asarray(im), jnp.float32) / 127.5 - 1.0
             for im in images_u8]
@@ -255,8 +263,6 @@ def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
     mask_u8: 255 = damaged. Trains the per-clip DDPM on the undamaged pixels
     unless pretrained ``params`` are supplied. Returns uint8 image.
     """
-    import optax
-
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     h, w = img_u8.shape
@@ -268,10 +274,9 @@ def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
     k_train, k_sample, k_init = jax.random.split(key, 3)
     if params is None:
         model = DiffusionUNet(base=cfg.base_channels)
-        params = model.init(
-            k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
-            jnp.zeros((1,)))["params"]
-        opt_state = optax.adam(cfg.lr).init(params)
+        params, opt_state = _jit_ddpm_init(
+            model, k_init, jnp.zeros((1, cfg.patch, cfg.patch, 1)),
+            jnp.zeros((1,)))
         done = 0
         while done < cfg.train_steps:
             n = min(cfg.scan_chunk, cfg.train_steps - done)

@@ -98,6 +98,40 @@ def _nhwc(x2d: jax.Array) -> jax.Array:
     return x2d[None, :, :, None]
 
 
+# Initialization and eval forwards run as ONE compiled program each. flax
+# 0.12 does not jit Module.init — eagerly it dispatches every op of the
+# model forward individually, which over the axon tunnel's per-dispatch
+# latency costs whole seconds per training run (the round-2 GAN's 33 s wall
+# vs ~19 s device time). Module instances are frozen dataclasses, so they
+# are valid static arguments and the jit cache persists across calls.
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_init(model, key, inp):
+    return model.init(key, inp)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_init_train(model, key, inp):
+    return model.init(key, inp, True)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_apply(model, params, inp):
+    return model.apply({"params": params}, inp)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_apply_eval(model, params, batch_stats, inp):
+    return model.apply({"params": params, "batch_stats": batch_stats},
+                       inp, False)
+
+
+@jax.jit
+def _jit_adam_init(params):
+    # optax.adam state is lr-independent (zero moments + step count), so one
+    # compiled program serves every config.
+    return optax.adam(1.0).init(params)
+
+
 def _pad4(x2d: jax.Array, value: float = 0.0) -> tuple[jax.Array, tuple[int, int]]:
     # F to a multiple of 4 (two pools), T to a multiple of 32 (two pools x
     # the 8-wide lane packing of models.packed_unet)
@@ -180,8 +214,8 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     vld = _nhwc(_valid4(f0, t0))
 
     model = PackedSimpleUNet(dtype=_dtype(cfg))
-    params = model.init(key, inp)["params"]
-    opt_state = optax.adam(cfg.lr).init(params)
+    params = _jit_init(model, key, inp)["params"]
+    opt_state = _jit_adam_init(params)
 
     losses = []
     done = 0
@@ -192,7 +226,7 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
         losses.append(ls)
         done += n
 
-    pred = PackedSimpleUNet(dtype=_dtype(cfg)).apply({"params": params}, inp)[0, :, :, 0]
+    pred = _jit_apply(model, params, inp)[0, :, :, 0]
     input_mag = tgt2d * msk2d
     final = input_mag + pred * (1.0 - msk2d)       # composite (reference :182)
     return final[:f0, :t0], pred[:f0, :t0], jnp.concatenate(losses)
@@ -331,19 +365,17 @@ def gan_train_restore(input_norm, real_norm, mask,
 
     g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
     d_model = _d_model(cfg)
-    tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
-    eval_fake = jax.jit(lambda gp, gbs: g_model.apply(
-        {"params": gp, "batch_stats": gbs}, inp, False))
-    hole = (1.0 - msk) * vld
-    hole_sum = float(jnp.sum(hole))
+
+    def eval_fake(gp, gbs):
+        return _jit_apply_eval(g_model, gp, gbs, inp)
 
     def train_once(k):
         kg, kd = jax.random.split(k)
-        g_vars = g_model.init(kg, inp, True)
-        d_vars = d_model.init(kd, inp, True)
+        g_vars = _jit_init_train(g_model, kg, inp)
+        d_vars = _jit_init_train(d_model, kd, inp)
         state = (g_vars["params"], g_vars["batch_stats"],
-                 tx.init(g_vars["params"]), d_vars["params"],
-                 d_vars["batch_stats"], tx.init(d_vars["params"]))
+                 _jit_adam_init(g_vars["params"]), d_vars["params"],
+                 d_vars["batch_stats"], _jit_adam_init(d_vars["params"]))
         d_hist, g_hist, snaps = [], [], []
         done, chunks_left = 0, -(-cfg.epochs // cfg.scan_chunk)
         while done < cfg.epochs:
@@ -367,6 +399,8 @@ def gan_train_restore(input_norm, real_norm, mask,
 
     final, hist = train_once(key)
     if cfg.retry_l1 > 0.0:
+        hole = (1.0 - msk) * vld     # computed (and synced) only when gated
+        hole_sum = float(jnp.sum(hole))
         l1 = float(jnp.sum(jnp.abs((final - real) * hole))) / hole_sum
         if l1 > cfg.retry_l1:
             # measured mode-collapse signature; one retrain on a fresh draw

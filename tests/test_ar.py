@@ -124,3 +124,84 @@ def test_ar_gap_at_boundary_falls_back_one_sided():
     got = np.asarray(ar_restore_gaps(jnp.asarray(x), gaps, cfg))
     assert np.all(np.isfinite(got))
     assert float(local_snr_db(np.sin(np.arange(3000) * 0.2).astype(np.float32), got, 0, 100)) > 10
+
+
+def test_chunked_extrapolation_matches_scan_deterministic():
+    """Companion-matrix chunked mode == per-sample scan (texture off).
+
+    Same fit, same start state; only the evaluation order of the identical
+    recurrence algebra differs, so outputs match to f32 reassociation
+    tolerance over a multi-chunk horizon."""
+    from audio_inpainting_tpu.methods.ar import (_extract_contexts,
+                                                 _extrapolate_chunked,
+                                                 _extrapolate_scan,
+                                                 _fit_ridge_batched)
+
+    rng = np.random.RandomState(11)
+    # stable-ish textured signal: damped oscillator + noise
+    t = np.arange(6000)
+    x = (np.sin(t * 0.11) + 0.4 * np.sin(t * 0.037) +
+         0.05 * rng.randn(6000)).astype(np.float32)
+    cfg = ARConfig(order=24, alpha=0.5, texture=False, context_len=1500,
+                   chunk=64)
+    starts = jnp.asarray(np.array([2500], np.int32))
+    ends = jnp.asarray(np.array([2800], np.int32))
+    ctxs, pads = _extract_contexts(jnp.asarray(x), starts, ends,
+                                   cfg.context_len)
+    w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
+    key = jax.random.PRNGKey(0)
+    steps = 300   # 300 = 4.7 chunks of 64: exercises padding + trim
+    seq = np.asarray(_extrapolate_scan(ctxs, w, b, std, valid, key, steps,
+                                       False))
+    chk = np.asarray(_extrapolate_chunked(ctxs, w, b, std, valid, key,
+                                          steps, False, cfg.chunk))
+    np.testing.assert_allclose(chk, seq, atol=2e-3, rtol=0)
+
+
+def test_chunked_extrapolation_matches_scan_texture_same_key():
+    """With texture on, the chunked path draws the SAME (steps, B) noise
+    tensor from the same key, so per-sample noise injection matches the
+    sequential path too."""
+    from audio_inpainting_tpu.methods.ar import (_extract_contexts,
+                                                 _extrapolate_chunked,
+                                                 _extrapolate_scan,
+                                                 _fit_ridge_batched)
+
+    rng = np.random.RandomState(12)
+    t = np.arange(6000)
+    x = (np.sin(t * 0.09) + 0.05 * rng.randn(6000)).astype(np.float32)
+    cfg = ARConfig(order=20, alpha=0.5, texture=True, context_len=1200,
+                   chunk=32)
+    starts = jnp.asarray(np.array([2500], np.int32))
+    ends = jnp.asarray(np.array([2650], np.int32))
+    ctxs, pads = _extract_contexts(jnp.asarray(x), starts, ends,
+                                   cfg.context_len)
+    w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
+    key = jax.random.PRNGKey(3)
+    steps = 150
+    seq = np.asarray(_extrapolate_scan(ctxs, w, b, std, valid, key, steps,
+                                       True))
+    chk = np.asarray(_extrapolate_chunked(ctxs, w, b, std, valid, key,
+                                          steps, True, cfg.chunk))
+    np.testing.assert_allclose(chk, seq, atol=2e-3, rtol=0)
+
+
+def test_chunked_restore_end_to_end_quality():
+    """ARConfig(chunk=128) through the public API restores as well as the
+    default path and leaves non-gap samples untouched."""
+    rng = np.random.RandomState(13)
+    t = np.arange(9000)
+    x = (np.sin(t * 0.13) + 0.3 * np.sin(t * 0.041)).astype(np.float32)
+    gaps = [(4000, 4500)]
+    base = ARConfig(order=30, alpha=0.1, texture=False, context_len=2000)
+    fast = ARConfig(order=30, alpha=0.1, texture=False, context_len=2000,
+                    chunk=128)
+    got_b = np.asarray(ar_restore_gaps(jnp.asarray(x), gaps, base))
+    got_f = np.asarray(ar_restore_gaps(jnp.asarray(x), gaps, fast))
+    snr_b = float(local_snr_db(x, got_b, 4000, 4500))
+    snr_f = float(local_snr_db(x, got_f, 4000, 4500))
+    assert snr_f > 10.0, snr_f
+    assert abs(snr_f - snr_b) < 1.0, (snr_f, snr_b)
+    mask = np.ones_like(x, bool)
+    mask[4000:4500] = False
+    np.testing.assert_allclose(got_f[mask], x[mask], atol=1e-6)
