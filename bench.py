@@ -147,9 +147,32 @@ def comparable_seconds(res: dict) -> float:
     return s
 
 
+def _arm_watchdog(seconds: int) -> None:
+    """Fail LOUDLY instead of hanging forever when the TPU tunnel stalls.
+
+    The axon tunnel has been observed to hang indefinitely on device
+    enumeration/compile RPCs (round 3: >2 h unresponsive). A silent hang
+    leaves no bench record at all; this prints a diagnostic JSON line on
+    the same contract as the success path and exits nonzero so the driver
+    can retry."""
+    import signal
+
+    def _timeout(signum, frame):
+        print(json.dumps({"metric": "suite_wall_clock_s", "value": None,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": f"bench watchdog: no result within "
+                                   f"{seconds}s (TPU tunnel stalled?)"}))
+        sys.stdout.flush()
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(seconds)
+
+
 def main() -> int:
     from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
 
+    _arm_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
     _enable_compilation_cache()
 
     diffusion_cfg = DiffusionConfig(train_steps=1500)
@@ -177,6 +200,9 @@ def main() -> int:
         ref_s = baseline.get("comparable_suite_wall_s", 0.0)
         if ref_s:
             vs = ref_s / ours
+    import signal
+
+    signal.alarm(0)
     print(json.dumps({"metric": "suite_wall_clock_s",
                       "value": round(ours, 2), "unit": "s",
                       "vs_baseline": round(vs, 2),

@@ -9,15 +9,20 @@ import os
 import resource
 
 # XLA's CPU compiler recurses deeply on the biggest programs here (the GAN
-# scan chunk, 8-device SPMD of the packed models); with the default 8 MB
-# main-thread stack it SEGFAULTS in backend_compile_and_load once the
-# process has aged (deeper pytest/fixture frames eat into the headroom —
-# the full suite crashed there 4/4 runs, every crash in a compile of one of
-# the largest programs, each program fine in a fresh process). Lift the
-# soft stack limit before any compilation happens.
+# scan chunk, 8-device SPMD of the packed models, the dense conv twins);
+# with the default 8 MB stack it SEGFAULTS in backend_compile_and_load once
+# the process has aged (every observed crash is a compile of one of the
+# largest programs; each program is fine in a fresh process). XLA compiles
+# on worker threads, and glibc sizes new pthread stacks from RLIMIT_STACK —
+# but falls back to the 8 MB default when the limit is RLIM_INFINITY, so an
+# "unlimited" limit does NOT help the compile threads. Set a large FINITE
+# limit (virtual reservation only) before jax spawns its thread pool.
+_STACK_BYTES = 512 << 20
 try:
-    resource.setrlimit(resource.RLIMIT_STACK,
-                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+    _hard = resource.getrlimit(resource.RLIMIT_STACK)[1]
+    _soft = (_STACK_BYTES if _hard == resource.RLIM_INFINITY
+             else min(_STACK_BYTES, _hard))
+    resource.setrlimit(resource.RLIMIT_STACK, (_soft, _hard))
 except (ValueError, OSError):  # not permitted: keep the inherited limit
     pass
 
@@ -35,6 +40,23 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free XLA:CPU executables at module boundaries.
+
+    This jaxlib segfaults inside backend_compile_and_load once the process
+    has compiled a few hundred programs: every observed full-suite crash is
+    a LARGE compile late in the run (the GAN scan chunk, 8-device SPMD, the
+    dense conv4x4s2 grad), each fine in a fresh process — the signature of
+    the JIT'd-code memory region degrading as cached executables accumulate,
+    not of any one program. Dropping the caches per module keeps the
+    executable population bounded; within-module compile reuse (the
+    expensive case) is unaffected.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
