@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-3 measurement battery — run once the TPU tunnel is healthy.
+# Usage: bash tools/round3_measure.sh [outdir]  (default /tmp/r3measure)
+set -u
+OUT=${1:-/tmp/r3measure}
+mkdir -p "$OUT"
+cd /root/repo
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ==="
+  timeout "$t" "$@" >"$OUT/$name.json" 2>"$OUT/$name.err"
+  echo "rc=$? -> $OUT/$name.json"
+  tail -c 400 "$OUT/$name.json" || true
+  echo
+}
+
+# 1. GAN epoch device time: flat vs per-leaf Adam (packed D, 100 epochs)
+run gan_epoch_flat   1200 python tools/gan_epoch_time.py packed 100 flat
+run gan_epoch_plain  1200 python tools/gan_epoch_time.py packed 100 plain
+
+# 2. GAN wall attribution, production 1500 epochs (compile + steady runs)
+run gan_wall         2400 python tools/gan_wall_probe.py 1500
+
+# 3. AR engines on the 88.2k-step part-2 gap
+run ar_engines       1200 python tools/ar_chunk_time.py
+
+# 4. Multi-clip serving throughput (U-Net 400 epochs, batch 1/4/8)
+run serve_tp         3600 python tools/serve_throughput.py 400 1 4 8
+
+# 5. Official bench (writes its own one-line JSON)
+run bench            5400 python bench.py
+
+echo "battery done; results in $OUT"
