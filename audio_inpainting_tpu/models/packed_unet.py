@@ -239,11 +239,12 @@ class PackedDiscriminator(nn.Module):
     """models.unet.Discriminator twin (logits out), packed strided convs.
 
     Same parameter tree; the final 4x4 VALID conv runs unpacked (tiny map).
-    NOTE: measured SLOWER than the standard Discriminator in the GAN loop
-    (47.9 vs 38.6 s steady at 1500 epochs) — the even/odd block gather and
-    its dilated-scatter transpose cost more than XLA's native strided conv,
-    so methods.neural keeps the standard class; this one remains for
-    inference-style workloads where the backward does not run.
+    The round-2 wiring measured SLOWER than the standard Discriminator
+    (47.9 vs 38.6 s at 1500 epochs, scatter-based band build); after the
+    boundary-column band form of conv4x4s2_packed this is the FASTER path
+    in context (12.7 vs 19.2 ms/epoch with everything else packed,
+    tools/gan_epoch_time.py round 3) and methods.neural defaults to it
+    (GANTrainConfig.packed_d=True).
     """
 
     dtype: jnp.dtype = jnp.float32

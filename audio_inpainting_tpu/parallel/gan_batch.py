@@ -1,0 +1,134 @@
+"""Batched multi-clip GAN restoration (serving mode).
+
+The reference's GAN (main_gan_gap.py) restores exactly one clip per process
+run. This module trains one INDEPENDENT generator/discriminator pair per
+clip for a whole batch at once — the production-serving complement of
+parallel/batch.py's U-Net mode — sharding clips over the mesh's dp axis
+with ``jax.shard_map`` (zero cross-chip traffic; embarrassingly parallel).
+Inside each shard the clips run under ``lax.map`` so every clip's training
+scan is the SAME program as the single-clip path: each mapped element calls
+methods.neural._gan_scan_core (one G forward per epoch, D-then-G update
+order, logits BCE, flat-vector Adam) with that clip's state.
+
+Default GANTrainConfig semantics apply (avg_tail=0: one eval-mode forward
+at the end, reference main_gan_gap.py:150-153).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..methods.neural import GANTrainConfig, _d_model, _gan_scan_core, _dtype
+from ..models.packed_unet import PackedGeneratorUNet
+from .mesh import make_mesh
+
+
+def _pad_batched(x: jax.Array, value: float) -> jax.Array:
+    """(G, F, T) -> (G, F4, T32): F to %4, T to %32 (two pools x 8-packing)."""
+    _, f, t = x.shape
+    return jnp.pad(x, ((0, 0), (0, (-f) % 4), (0, (-t) % 32)),
+                   constant_values=value)
+
+
+def _valid_batched(g: int, f: int, t: int) -> jax.Array:
+    v = jnp.zeros((g, (-f) % 4 + f, (-t) % 32 + t), jnp.float32)
+    return v.at[:, :f, :t].set(1.0)
+
+
+def _local_init(keys, inp, cfg: GANTrainConfig):
+    g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
+    d_model = _d_model(cfg)
+    tx = optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2)
+
+    def one(args):
+        k, x = args
+        kg, kd = jax.random.split(k)
+        g = g_model.init(kg, x[None, :, :, None], True)
+        d = d_model.init(kd, x[None, :, :, None], True)
+        return (g["params"], g["batch_stats"], tx.init(g["params"]),
+                d["params"], d["batch_stats"], tx.init(d["params"]))
+
+    return jax.lax.map(one, (keys, inp))
+
+
+def _local_chunk(state, inp, real, msk, vld, cfg: GANTrainConfig,
+                 n_epochs: int):
+    def one(args):
+        st, x, r, m, v = args
+        st, (dl, gl) = _gan_scan_core(
+            st, x[None, :, :, None], r[None, :, :, None],
+            m[None, :, :, None], v[None, :, :, None], cfg, n_epochs)
+        return st, dl[-1], gl[-1]
+
+    return jax.lax.map(one, (state, inp, real, msk, vld))
+
+
+def _local_composite(state, inp, msk, cfg: GANTrainConfig):
+    g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
+
+    def one(args):
+        st, x, m = args
+        fake = g_model.apply({"params": st[0], "batch_stats": st[1]},
+                             x[None, :, :, None], False)
+        return (x[None, :, :, None] * m[None, :, :, None]
+                + fake * (1.0 - m[None, :, :, None]))[0, :, :, 0]
+
+    return jax.lax.map(one, (state, inp, msk))
+
+
+def restore_clips_gan(norm_batch, real_batch, mask_batch,
+                      cfg: GANTrainConfig = GANTrainConfig(),
+                      mesh: Mesh | None = None,
+                      key: jax.Array | int = 0):
+    """Restore a batch of clips' [-1,1] magnitudes, one GAN pair per clip.
+
+    norm_batch, real_batch, mask_batch: (G, F, T); mask 1 = kept. G must
+    divide by the mesh size. Returns (composited (G, F, T),
+    (d_loss_last (G,), g_loss_last (G,))) — the single-clip
+    methods.neural.gan_train_restore contract, batched.
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    if mesh is None:
+        mesh = make_mesh(1)
+    norm = jnp.asarray(norm_batch, jnp.float32)
+    real = jnp.asarray(real_batch, jnp.float32)
+    msk = jnp.asarray(mask_batch, jnp.float32)
+    g, f, t = norm.shape
+    assert g % mesh.devices.size == 0, (g, mesh.devices.size)
+    inp = _pad_batched(norm, -1.0)       # -1 = silence in the GAN's space
+    realp = _pad_batched(real, -1.0)
+    mskp = _pad_batched(msk, 1.0)        # pad = kept
+    vld = _valid_batched(g, f, t)
+    keys = jax.random.split(key, g)
+
+    shmap = functools.partial(jax.shard_map, mesh=mesh)
+    init_fn = jax.jit(shmap(functools.partial(_local_init, cfg=cfg),
+                            in_specs=(P("dp"), P("dp")), out_specs=P("dp")))
+    state = init_fn(keys, inp)
+
+    @functools.lru_cache(maxsize=4)
+    def chunk_fn(n_epochs: int):
+        return jax.jit(
+            shmap(functools.partial(_local_chunk, cfg=cfg,
+                                    n_epochs=n_epochs),
+                  in_specs=(P("dp"),) * 5,
+                  out_specs=(P("dp"), P("dp"), P("dp"))),
+            donate_argnums=(0,))
+
+    dl = gl = None
+    done = 0
+    while done < cfg.epochs:
+        n = min(cfg.scan_chunk, cfg.epochs - done)
+        state, dl, gl = chunk_fn(n)(state, inp, realp, mskp, vld)
+        done += n
+
+    comp_fn = jax.jit(shmap(functools.partial(_local_composite, cfg=cfg),
+                            in_specs=(P("dp"),) * 3, out_specs=P("dp")))
+    out = comp_fn(state, inp, mskp)
+    return out[:, :f, :t], (dl, gl)

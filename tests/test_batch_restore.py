@@ -30,3 +30,32 @@ def test_batch_restore_8_clips_dp_sharded():
     base = np.sqrt((mags[:, :, 20:30] ** 2).sum(axis=(1, 2, 3)))
     assert (err < 0.7 * base).mean() >= 0.75, (err / base)
     assert losses.shape == (8,)
+
+
+def test_batch_restore_gan_clips_dp_sharded():
+    """Multi-clip GAN serving mode: per-clip G/D pairs, clips over dp."""
+    import jax
+    from audio_inpainting_tpu.methods.neural import GANTrainConfig
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(5)
+    G, F, T = 8, 12, 32
+    real = (rng.rand(G, F, T).astype(np.float32)) * 2 - 1
+    masks = np.ones_like(real)
+    masks[:, :, 12:20] = 0.0
+    norm = real * masks + (-1.0) * (1 - masks)     # hole reads as silence
+
+    mesh = make_mesh()
+    cfg = GANTrainConfig(epochs=6, scan_chunk=4)   # exercises partial chunk
+    out, (dl, gl) = restore_clips_gan(norm, real, masks, cfg, mesh=mesh,
+                                      key=3)
+    out = np.asarray(out)
+    assert out.shape == (G, F, T)
+    assert np.isfinite(out).all()
+    assert dl.shape == (G,) and gl.shape == (G,)
+    # kept regions are the input, exactly (composite semantics)
+    np.testing.assert_allclose(out[:, :, :12], norm[:, :, :12], atol=1e-6)
+
+    # meshless run matches the dp-sharded run (no cross-chip math exists)
+    out1, _ = restore_clips_gan(norm, real, masks, cfg, mesh=None, key=3)
+    np.testing.assert_allclose(out, np.asarray(out1), atol=1e-5)
