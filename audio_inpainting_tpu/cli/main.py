@@ -69,6 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--original", default=None,
                     help="clean reference WAV (GAN method only)")
 
+    ps = sub.add_parser("serve", help="batch-restore a directory of WAVs "
+                                      "(per-clip nets, clips over dp mesh)")
+    ps.add_argument("input_dir")
+    ps.add_argument("output_dir")
+    ps.add_argument("--method", default="unet", choices=["unet", "gan"])
+    ps.add_argument("--epochs", type=int, default=400)
+    ps.add_argument("--originals", default=None,
+                    help="dir of clean WAVs, same names (GAN method only)")
+    ps.add_argument("--devices", type=int, default=1,
+                    help="dp mesh size (clips padded to a multiple)")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--json", action="store_true")
+
     pu = sub.add_parser("unet-gap", help="main5_UNet_gap overfit demo variant")
     _add_common(pu)
     pu.add_argument("--epochs", type=int, default=600)
@@ -138,6 +151,16 @@ def main(argv=None) -> int:
         save_wav_int16(out, sr, args.output_wav)
         print(f"restored {args.input_wav} -> {args.output_wav} "
               f"({args.method}, {time.time() - t_start:.1f}s)")
+        return 0
+    if args.cmd == "serve":
+        from ..pipelines.serve import run_serve
+
+        res = run_serve(args.input_dir, args.output_dir, method=args.method,
+                        epochs=args.epochs, originals_dir=args.originals,
+                        seed=args.seed, devices=args.devices)
+        _emit("serve", res if args.json else res["files"], args.json)
+        print(f"{res['clips']} clips -> {args.output_dir} "
+              f"({res['wall_s']}s)", file=sys.stderr)
         return 0
     if args.cmd == "unet-gap":
         from ..pipelines.extras import run_unet_gap

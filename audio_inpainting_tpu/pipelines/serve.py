@@ -1,0 +1,137 @@
+"""Batch serving: restore a directory of damaged WAVs in one device program.
+
+The reference restores one clip per script run; this is the corpus-scale
+path the TPU design buys — every clip's per-clip network trains
+simultaneously (parallel/batch.py U-Net mode, parallel/gan_batch.py GAN
+mode), clips sharded over the mesh's dp axis.
+
+Per clip: STFT (1024/256, the reference neural methods' convention), blind
+damage detection from silent STFT columns (>=90% of the hop window under
+1e-4 — main4_NMF_gap.py:28-40 semantics), batched restore, composite,
+iSTFT with the damaged clip's phase, int16 WAV out.
+
+Unequal lengths are handled by padding every spectrogram to the batch's max
+frame count with silence marked KEPT (pad columns never train or composite
+into the output, which is trimmed to each clip's true length).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..corrupt import silent_frame_columns
+from ..io import load_mono_normalized, save_wav_int16
+from ..ops import istft, stft, torch_stft_config
+from ..ops.stft import magphase, polar
+
+_CFG = torch_stft_config(1024, 256)
+
+
+def _analyze(path: str):
+    sr, x = load_mono_normalized(path)
+    z = stft(jnp.asarray(x), _CFG)
+    mag, phase = magphase(z)
+    n_frames = int(mag.shape[1])
+    idx = silent_frame_columns(x, n_frames, _CFG.hop,
+                               threshold=1e-4, silent_fraction=0.9)
+    bad = np.zeros(n_frames, bool)
+    bad[idx] = True
+    return sr, x, np.asarray(mag), phase, bad
+
+
+def _pad_to(a: np.ndarray, t: int, value: float) -> np.ndarray:
+    return np.pad(a, ((0, 0), (0, t - a.shape[1])), constant_values=value)
+
+
+def run_serve(input_dir: str, output_dir: str, method: str = "unet",
+              epochs: int = 400, originals_dir: str | None = None,
+              seed: int = 0, devices: int = 1) -> dict:
+    """Restore every WAV under input_dir into output_dir; returns metrics."""
+    from ..methods.neural import GANTrainConfig, UNetTrainConfig
+    from ..parallel import make_mesh, restore_clips_gan
+    from ..parallel.batch import restore_clips_unet
+
+    paths = sorted(glob.glob(os.path.join(input_dir, "*.wav")))
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {input_dir}")
+    os.makedirs(output_dir, exist_ok=True)
+    t0 = time.time()
+
+    clips = [_analyze(p) for p in paths]
+    f = clips[0][2].shape[0]
+    g = len(clips)
+    # frame count: batch max, padded so the models' pool/packing divisors
+    # hold (T % 32 covers both the U-Net's %4 and the packed GAN's %32)
+    t_max = max(c[2].shape[1] for c in clips)
+    t_pad = t_max + ((-t_max) % 32)
+    # mesh divisibility: repeat the last clip and drop its extra outputs
+    mesh = make_mesh(devices) if devices > 1 else None
+    g_pad = g + ((-g) % devices)
+
+    mags = np.stack([_pad_to(c[2], t_pad, 0.0) for c in clips])
+    col_keep = np.stack(
+        [np.pad(~c[4], (0, t_pad - len(c[4])), constant_values=True)
+         for c in clips]).astype(np.float32)          # 1 = kept
+    masks = np.broadcast_to(col_keep[:, None, :], mags.shape).copy()
+    fpad = (-f) % 4
+    if fpad:
+        mags = np.pad(mags, ((0, 0), (0, fpad), (0, 0)))
+        masks = np.pad(masks, ((0, 0), (0, fpad), (0, 0)),
+                       constant_values=1.0)
+
+    def _batch_pad(a):
+        return (np.concatenate([a] + [a[-1:]] * (g_pad - g)) if g_pad > g
+                else a)
+
+    if method == "unet":
+        peak = mags.max(axis=(1, 2), keepdims=True)
+        peak = np.maximum(peak, 1e-12)
+        norm = (mags / peak).astype(np.float32)
+        cfg = UNetTrainConfig(epochs=epochs,
+                              scan_chunk=min(100, epochs))
+        out, _ = restore_clips_unet(
+            _batch_pad(norm)[..., None], _batch_pad(masks)[..., None],
+            cfg=cfg, mesh=mesh, key=seed)
+        final = np.asarray(out)[:g, :, :, 0] * peak
+    elif method == "gan":
+        if originals_dir is None:
+            raise ValueError("gan serving needs --originals (the reference "
+                             "GAN trains against the clean clip, "
+                             "main_gan_gap.py:103-108)")
+        reals = []
+        for p in paths:
+            op = os.path.join(originals_dir, os.path.basename(p))
+            _, _, rmag, _, _ = _analyze(op)
+            reals.append(_pad_to(rmag, t_pad, 0.0))
+        rmags = np.stack(reals)
+        if fpad:
+            rmags = np.pad(rmags, ((0, 0), (0, fpad), (0, 0)))
+        lo = mags.min(axis=(1, 2), keepdims=True)
+        hi = np.maximum(mags.max(axis=(1, 2), keepdims=True), lo + 1e-12)
+        norm = (2 * (mags - lo) / (hi - lo) - 1).astype(np.float32)
+        rnorm = (2 * (rmags - lo) / (hi - lo) - 1).astype(np.float32)
+        cfg = GANTrainConfig(epochs=epochs, bf16=True,
+                             scan_chunk=min(100, epochs))
+        out, _ = restore_clips_gan(_batch_pad(norm), _batch_pad(rnorm),
+                                   _batch_pad(masks), cfg, mesh=mesh,
+                                   key=seed)
+        final = (np.asarray(out)[:g] + 1) / 2 * (hi - lo) + lo
+    else:
+        raise ValueError(f"serve supports unet|gan, got {method!r}")
+
+    results = {"method": method, "clips": g, "epochs": epochs, "files": {}}
+    for i, (path, (sr, x, mag, phase, cols)) in enumerate(zip(paths, clips)):
+        t_i = mag.shape[1]
+        out_mag = jnp.asarray(final[i, :f, :t_i], jnp.float32)
+        y = np.asarray(istft(polar(out_mag, phase), _CFG, len(x)))
+        name = os.path.basename(path)
+        save_wav_int16(y, sr, os.path.join(output_dir, name))
+        results["files"][name] = {"frames": int(t_i),
+                                  "damaged_cols": int(cols.sum())}
+    results["wall_s"] = round(time.time() - t0, 2)
+    return results
