@@ -73,7 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                                       "(per-clip nets, clips over dp mesh)")
     ps.add_argument("input_dir")
     ps.add_argument("output_dir")
-    ps.add_argument("--method", default="unet", choices=["unet", "gan"])
+    ps.add_argument("--method", default="unet",
+                    choices=["unet", "gan", "linear", "ar", "nmf", "gp",
+                             "diffusion"],
+                    help="unet/gan train all clips batched on the mesh; "
+                         "the rest run the per-clip facade")
     ps.add_argument("--epochs", type=int, default=400)
     ps.add_argument("--originals", default=None,
                     help="dir of clean WAVs, same names (GAN method only)")

@@ -122,7 +122,20 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
                                    key=seed)
         final = (np.asarray(out)[:g] + 1) / 2 * (hi - lo) + lo
     else:
-        raise ValueError(f"serve supports unet|gan, got {method!r}")
+        # every other method runs through the per-clip facade (these are
+        # sub-second methods where batching buys nothing)
+        from ..api import restore as api_restore
+
+        results = {"method": method, "clips": g, "epochs": epochs,
+                   "files": {}}
+        for path, (sr, x, mag, phase, cols) in zip(paths, clips):
+            y = api_restore(x, sr, method=method, seed=seed)
+            name = os.path.basename(path)
+            save_wav_int16(y, sr, os.path.join(output_dir, name))
+            results["files"][name] = {"frames": int(mag.shape[1]),
+                                      "damaged_cols": int(cols.sum())}
+        results["wall_s"] = round(time.time() - t0, 2)
+        return results
 
     results = {"method": method, "clips": g, "epochs": epochs, "files": {}}
     for i, (path, (sr, x, mag, phase, cols)) in enumerate(zip(paths, clips)):

@@ -78,3 +78,18 @@ def test_serve_cli(tmp_path):
     assert rc == 0
     for name in names:
         assert (dout / name).exists()
+
+
+def test_serve_facade_methods(tmp_path):
+    """Non-neural methods route through the per-clip facade."""
+    from audio_inpainting_tpu.pipelines.serve import run_serve
+
+    din, _, names, _ = _make_corpus(tmp_path)
+    for method in ("linear", "ar"):
+        dout = tmp_path / f"out_{method}"
+        res = run_serve(str(din), str(dout), method=method)
+        assert res["method"] == method
+        for name in names:
+            assert (dout / name).exists()
+            _, out = load_mono_normalized(str(dout / name))
+            assert np.isfinite(out).all()
