@@ -25,8 +25,9 @@ run gan_wall         2400 python tools/gan_wall_probe.py 1500
 # 3. AR engines on the 88.2k-step part-2 gap
 run ar_engines       1200 python tools/ar_chunk_time.py
 
-# 4. Multi-clip serving throughput (U-Net 400 epochs, batch 1/4/8)
+# 4. Multi-clip serving throughput (U-Net 400 ep and GAN 1500 ep)
 run serve_tp         3600 python tools/serve_throughput.py 400 1 4 8
+run serve_tp_gan     3600 env SERVE_METHOD=gan python tools/serve_throughput.py 1500 1 2
 
 # 5. Official bench (writes its own one-line JSON)
 run bench            5400 python bench.py
