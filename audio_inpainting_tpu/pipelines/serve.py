@@ -62,7 +62,18 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
     os.makedirs(output_dir, exist_ok=True)
     t0 = time.time()
 
-    clips = [_analyze(p) for p in paths]
+    clips, kept_paths, skipped = [], [], []
+    for p in paths:
+        try:
+            clips.append(_analyze(p))
+            kept_paths.append(p)
+        except Exception as e:  # unreadable/corrupt container: skip, don't
+            skipped.append({"file": os.path.basename(p),   # kill the batch
+                            "error": f"{type(e).__name__}: {e}"})
+    if not clips:
+        raise ValueError(f"no readable .wav files under {input_dir}: "
+                         f"{skipped}")
+    paths = kept_paths
     f = clips[0][2].shape[0]
     g = len(clips)
     # frame count: batch max, padded so the models' pool/packing divisors
@@ -127,7 +138,7 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         from ..api import restore as api_restore
 
         results = {"method": method, "clips": g, "epochs": epochs,
-                   "files": {}}
+                   "skipped": skipped, "files": {}}
         for path, (sr, x, mag, phase, cols) in zip(paths, clips):
             y = api_restore(x, sr, method=method, seed=seed)
             name = os.path.basename(path)
@@ -137,7 +148,8 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         results["wall_s"] = round(time.time() - t0, 2)
         return results
 
-    results = {"method": method, "clips": g, "epochs": epochs, "files": {}}
+    results = {"method": method, "clips": g, "epochs": epochs,
+               "skipped": skipped, "files": {}}
     for i, (path, (sr, x, mag, phase, cols)) in enumerate(zip(paths, clips)):
         t_i = mag.shape[1]
         out_mag = jnp.asarray(final[i, :f, :t_i], jnp.float32)

@@ -93,3 +93,16 @@ def test_serve_facade_methods(tmp_path):
             assert (dout / name).exists()
             _, out = load_mono_normalized(str(dout / name))
             assert np.isfinite(out).all()
+
+
+def test_serve_skips_unreadable_files(tmp_path):
+    from audio_inpainting_tpu.pipelines.serve import run_serve
+
+    din, _, names, _ = _make_corpus(tmp_path)
+    (din / "broken.wav").write_bytes(b"not a riff file at all")
+    dout = tmp_path / "out_skip"
+    res = run_serve(str(din), str(dout), method="linear")
+    assert len(res["skipped"]) == 1
+    assert res["skipped"][0]["file"] == "broken.wav"
+    for name in names:
+        assert (dout / name).exists()
