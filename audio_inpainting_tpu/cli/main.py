@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--json", action="store_true")
 
+    psc = sub.add_parser("score", help="SNR/LSD of restored WAVs vs originals")
+    psc.add_argument("restored_dir")
+    psc.add_argument("originals_dir")
+    psc.add_argument("--json", action="store_true")
+
     pu = sub.add_parser("unet-gap", help="main5_UNet_gap overfit demo variant")
     _add_common(pu)
     pu.add_argument("--epochs", type=int, default=600)
@@ -155,6 +160,30 @@ def main(argv=None) -> int:
         save_wav_int16(out, sr, args.output_wav)
         print(f"restored {args.input_wav} -> {args.output_wav} "
               f"({args.method}, {time.time() - t_start:.1f}s)")
+        return 0
+    if args.cmd == "score":
+        import glob
+
+        import numpy as np
+
+        from ..io import load_mono_normalized
+        from ..metrics import lsd_db, snr_db
+
+        rows = {}
+        for path in sorted(glob.glob(os.path.join(args.restored_dir,
+                                                  "*.wav"))):
+            name = os.path.basename(path)
+            opath = os.path.join(args.originals_dir, name)
+            if not os.path.exists(opath):
+                rows[name] = "no original"
+                continue
+            _, got = load_mono_normalized(path)
+            _, ref = load_mono_normalized(opath)
+            n = min(len(got), len(ref))
+            rows[name] = {"snr_db": round(float(snr_db(ref[:n], got[:n])), 2),
+                          "lsd_db": round(float(lsd_db(ref[:n], got[:n])), 2),
+                          "samples": int(n)}
+        _emit("score", rows, args.json)
         return 0
     if args.cmd == "serve":
         from ..pipelines.serve import run_serve
