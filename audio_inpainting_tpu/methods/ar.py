@@ -280,7 +280,11 @@ def _restore_once_fused(signal: jax.Array, starts: jax.Array,
     ctxs, pads = _extract_contexts(signal, starts, ends, cfg.context_len)
     w, b, std, valid = _fit_ridge_batched(ctxs, pads, cfg)
     std = std * cfg.texture_scale
-    if cfg.chunk >= cfg.order and cfg.chunk > 0:
+    if cfg.chunk > 0:
+        if cfg.chunk < cfg.order:
+            raise ValueError(
+                f"ARConfig.chunk={cfg.chunk} must be >= order={cfg.order} "
+                "(the chunk's tail is the next chunk's entry state)")
         preds = _extrapolate_chunked(ctxs, w, b, std, valid, key, max_len,
                                      cfg.texture, cfg.chunk)
     elif use_pallas:

@@ -72,6 +72,39 @@ def _local_composite(params, inp, msk):
     return jax.lax.map(one, (params, inp, msk))
 
 
+# Module-level jit caches: jit keys on function identity, so building these
+# inside restore_clips_unet would recompile every stage on every call in a
+# long-lived serving process.
+@functools.lru_cache(maxsize=8)
+def _init_fn(mesh: Mesh):
+    return jax.jit(jax.shard_map(_local_init, mesh=mesh,
+                                 in_specs=(P("dp"), P("dp")),
+                                 out_specs=P("dp")))
+
+
+@functools.lru_cache(maxsize=8)
+def _opt_init_fn(mesh: Mesh):
+    return jax.jit(jax.shard_map(
+        lambda p: jax.lax.map(optax.adam(1.0).init, p),   # adam init is lr-free
+        mesh=mesh, in_specs=(P("dp"),), out_specs=P("dp")))
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_fn(mesh: Mesh, cfg: UNetTrainConfig, n_epochs: int):
+    return jax.jit(
+        jax.shard_map(functools.partial(_local_chunk, cfg=cfg,
+                                        n_epochs=n_epochs),
+                      mesh=mesh, in_specs=(P("dp"),) * 5,
+                      out_specs=(P("dp"), P("dp"), P("dp"))),
+        donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=8)
+def _comp_fn(mesh: Mesh):
+    return jax.jit(jax.shard_map(_local_composite, mesh=mesh,
+                                 in_specs=(P("dp"),) * 3, out_specs=P("dp")))
+
+
 def restore_clips_unet(mag_norm_batch, mask_batch,
                        cfg: UNetTrainConfig = UNetTrainConfig(),
                        mesh: Mesh | None = None,
@@ -92,26 +125,15 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
     inp = mag * msk
     keys = jax.random.split(key, B)
 
-    shmap = functools.partial(jax.shard_map, mesh=mesh)
-
-    init_fn = jax.jit(shmap(_local_init, in_specs=(P("dp"), P("dp")),
-                            out_specs=P("dp")))
-    params = init_fn(keys, inp)
-    opt_state = jax.jit(shmap(
-        lambda p: jax.lax.map(optax.adam(cfg.lr).init, p),
-        in_specs=(P("dp"),), out_specs=P("dp")))(params)
-
-    chunk_fn = jax.jit(
-        shmap(functools.partial(_local_chunk, cfg=cfg, n_epochs=cfg.scan_chunk),
-              in_specs=(P("dp"),) * 5, out_specs=(P("dp"), P("dp"), P("dp"))),
-        donate_argnums=(0, 1))
+    params = _init_fn(mesh)(keys, inp)
+    opt_state = _opt_init_fn(mesh)(params)
 
     final_loss = None
     done = 0
     while done < cfg.epochs:
-        params, opt_state, final_loss = chunk_fn(params, opt_state, inp, mag, msk)
-        done += cfg.scan_chunk
+        n = min(cfg.scan_chunk, cfg.epochs - done)   # never overshoot epochs
+        params, opt_state, final_loss = _chunk_fn(mesh, cfg, n)(
+            params, opt_state, inp, mag, msk)
+        done += n
 
-    comp_fn = jax.jit(shmap(_local_composite, in_specs=(P("dp"),) * 3,
-                            out_specs=P("dp")))
-    return comp_fn(params, inp, msk), final_loss
+    return _comp_fn(mesh)(params, inp, msk), final_loss

@@ -81,16 +81,49 @@ def _local_composite(state, inp, msk, cfg: GANTrainConfig):
     return jax.lax.map(one, (state, inp, msk))
 
 
+# jit caches key on function identity, so the jitted stage functions are
+# built ONCE per (mesh, cfg[, n_epochs]) at module level — a serving process
+# calling restore_clips_gan per directory batch must not recompile the GAN
+# scan every call.
+@functools.lru_cache(maxsize=8)
+def _init_fn(mesh: Mesh, cfg: GANTrainConfig):
+    return jax.jit(jax.shard_map(functools.partial(_local_init, cfg=cfg),
+                                 mesh=mesh, in_specs=(P("dp"), P("dp")),
+                                 out_specs=P("dp")))
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_fn(mesh: Mesh, cfg: GANTrainConfig, n_epochs: int):
+    return jax.jit(
+        jax.shard_map(functools.partial(_local_chunk, cfg=cfg,
+                                        n_epochs=n_epochs),
+                      mesh=mesh, in_specs=(P("dp"),) * 5,
+                      out_specs=(P("dp"), P("dp"), P("dp"))),
+        donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=8)
+def _comp_fn(mesh: Mesh, cfg: GANTrainConfig):
+    return jax.jit(jax.shard_map(functools.partial(_local_composite,
+                                                   cfg=cfg),
+                                 mesh=mesh, in_specs=(P("dp"),) * 3,
+                                 out_specs=P("dp")))
+
+
 def restore_clips_gan(norm_batch, real_batch, mask_batch,
                       cfg: GANTrainConfig = GANTrainConfig(),
                       mesh: Mesh | None = None,
-                      key: jax.Array | int = 0):
+                      key: jax.Array | int = 0,
+                      valid_batch=None):
     """Restore a batch of clips' [-1,1] magnitudes, one GAN pair per clip.
 
     norm_batch, real_batch, mask_batch: (G, F, T); mask 1 = kept. G must
-    divide by the mesh size. Returns (composited (G, F, T),
-    (d_loss_last (G,), g_loss_last (G,))) — the single-clip
-    methods.neural.gan_train_restore contract, batched.
+    divide by the mesh size. valid_batch (optional, (G, F, T), 1 = real
+    content): marks each clip's true extent when callers pre-pad unequal
+    lengths — pad cells are excluded from the L1 reconstruction term and
+    its denominator, matching the single-clip path's _valid4 semantics.
+    Returns (composited (G, F, T), (d_loss_last (G,), g_loss_last (G,)))
+    — the single-clip methods.neural.gan_train_restore contract, batched.
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
@@ -105,30 +138,17 @@ def restore_clips_gan(norm_batch, real_batch, mask_batch,
     realp = _pad_batched(real, -1.0)
     mskp = _pad_batched(msk, 1.0)        # pad = kept
     vld = _valid_batched(g, f, t)
+    if valid_batch is not None:
+        vld = vld * _pad_batched(jnp.asarray(valid_batch, jnp.float32), 0.0)
     keys = jax.random.split(key, g)
 
-    shmap = functools.partial(jax.shard_map, mesh=mesh)
-    init_fn = jax.jit(shmap(functools.partial(_local_init, cfg=cfg),
-                            in_specs=(P("dp"), P("dp")), out_specs=P("dp")))
-    state = init_fn(keys, inp)
-
-    @functools.lru_cache(maxsize=4)
-    def chunk_fn(n_epochs: int):
-        return jax.jit(
-            shmap(functools.partial(_local_chunk, cfg=cfg,
-                                    n_epochs=n_epochs),
-                  in_specs=(P("dp"),) * 5,
-                  out_specs=(P("dp"), P("dp"), P("dp"))),
-            donate_argnums=(0,))
-
+    state = _init_fn(mesh, cfg)(keys, inp)
     dl = gl = None
     done = 0
     while done < cfg.epochs:
         n = min(cfg.scan_chunk, cfg.epochs - done)
-        state, dl, gl = chunk_fn(n)(state, inp, realp, mskp, vld)
+        state, dl, gl = _chunk_fn(mesh, cfg, n)(state, inp, realp, mskp, vld)
         done += n
 
-    comp_fn = jax.jit(shmap(functools.partial(_local_composite, cfg=cfg),
-                            in_specs=(P("dp"),) * 3, out_specs=P("dp")))
-    out = comp_fn(state, inp, mskp)
+    out = _comp_fn(mesh, cfg)(state, inp, mskp)
     return out[:, :f, :t], (dl, gl)

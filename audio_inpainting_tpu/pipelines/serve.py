@@ -45,6 +45,8 @@ def _analyze(path: str):
 
 
 def _pad_to(a: np.ndarray, t: int, value: float) -> np.ndarray:
+    if a.shape[1] >= t:          # longer than the batch frame: truncate
+        return a[:, :t]
     return np.pad(a, ((0, 0), (0, t - a.shape[1])), constant_values=value)
 
 
@@ -74,13 +76,43 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         raise ValueError(f"no readable .wav files under {input_dir}: "
                          f"{skipped}")
     paths = kept_paths
+
+    orig_clips = None
+    if method == "gan":
+        if originals_dir is None:
+            raise ValueError("gan serving needs --originals (the reference "
+                             "GAN trains against the clean clip, "
+                             "main_gan_gap.py:103-108)")
+        kept2, orig_clips = [], []
+        for p, c in zip(paths, clips):
+            op = os.path.join(originals_dir, os.path.basename(p))
+            try:
+                orig_clips.append(_analyze(op))
+                kept2.append((p, c))
+            except Exception as e:   # missing/corrupt original: skip clip
+                skipped.append({"file": os.path.basename(p),
+                                "error": f"original: "
+                                         f"{type(e).__name__}: {e}"})
+        if not kept2:
+            raise ValueError(f"no clip under {input_dir} has a readable "
+                             f"original in {originals_dir}: {skipped}")
+        paths = [p for p, _ in kept2]
+        clips = [c for _, c in kept2]
+
     f = clips[0][2].shape[0]
     g = len(clips)
     # frame count: batch max, padded so the models' pool/packing divisors
     # hold (T % 32 covers both the U-Net's %4 and the packed GAN's %32)
     t_max = max(c[2].shape[1] for c in clips)
     t_pad = t_max + ((-t_max) % 32)
-    # mesh divisibility: repeat the last clip and drop its extra outputs
+    # mesh divisibility: repeat the last clip and drop its extra outputs.
+    # make_mesh silently truncates to the available devices, so size the
+    # batch padding from what the mesh actually has.
+    if devices < 1:
+        raise ValueError(f"--devices must be >= 1, got {devices}")
+    import jax
+
+    devices = min(devices, jax.device_count())
     mesh = make_mesh(devices) if devices > 1 else None
     g_pad = g + ((-g) % devices)
 
@@ -110,27 +142,23 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
             cfg=cfg, mesh=mesh, key=seed)
         final = np.asarray(out)[:g, :, :, 0] * peak
     elif method == "gan":
-        if originals_dir is None:
-            raise ValueError("gan serving needs --originals (the reference "
-                             "GAN trains against the clean clip, "
-                             "main_gan_gap.py:103-108)")
-        reals = []
-        for p in paths:
-            op = os.path.join(originals_dir, os.path.basename(p))
-            _, _, rmag, _, _ = _analyze(op)
-            reals.append(_pad_to(rmag, t_pad, 0.0))
-        rmags = np.stack(reals)
+        rmags = np.stack([_pad_to(c[2], t_pad, 0.0) for c in orig_clips])
         if fpad:
             rmags = np.pad(rmags, ((0, 0), (0, fpad), (0, 0)))
         lo = mags.min(axis=(1, 2), keepdims=True)
         hi = np.maximum(mags.max(axis=(1, 2), keepdims=True), lo + 1e-12)
         norm = (2 * (mags - lo) / (hi - lo) - 1).astype(np.float32)
         rnorm = (2 * (rmags - lo) / (hi - lo) - 1).astype(np.float32)
+        # each clip's true (f, t_i) extent: pad cells must not enter the L1
+        # reconstruction term (single-clip _valid4 semantics)
+        valid = np.zeros_like(norm)
+        for i, c in enumerate(clips):
+            valid[i, :f, :c[2].shape[1]] = 1.0
         cfg = GANTrainConfig(epochs=epochs, bf16=True,
                              scan_chunk=min(100, epochs))
         out, _ = restore_clips_gan(_batch_pad(norm), _batch_pad(rnorm),
                                    _batch_pad(masks), cfg, mesh=mesh,
-                                   key=seed)
+                                   key=seed, valid_batch=_batch_pad(valid))
         final = (np.asarray(out)[:g] + 1) / 2 * (hi - lo) + lo
     else:
         # every other method runs through the per-clip facade (these are

@@ -205,3 +205,10 @@ def test_chunked_restore_end_to_end_quality():
     mask = np.ones_like(x, bool)
     mask[4000:4500] = False
     np.testing.assert_allclose(got_f[mask], x[mask], atol=1e-6)
+
+
+def test_chunk_smaller_than_order_raises():
+    x = np.sin(np.arange(4000) * 0.1).astype(np.float32)
+    cfg = ARConfig(order=100, texture=False, context_len=1000, chunk=64)
+    with pytest.raises(ValueError):
+        ar_restore_gap(jnp.asarray(x), (1500, 1700), cfg)

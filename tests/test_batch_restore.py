@@ -59,3 +59,37 @@ def test_batch_restore_gan_clips_dp_sharded():
     # meshless run matches the dp-sharded run (no cross-chip math exists)
     out1, _ = restore_clips_gan(norm, real, masks, cfg, mesh=None, key=3)
     np.testing.assert_allclose(out, np.asarray(out1), atol=1e-5)
+
+
+def test_batch_restore_respects_epoch_count():
+    """epochs not a multiple of scan_chunk must not overtrain: the chunk
+    loop clamps the final chunk (cache shows a 100- and a 20-epoch build)."""
+    from audio_inpainting_tpu.parallel import batch as batch_mod
+
+    rng = np.random.RandomState(1)
+    mags = rng.rand(1, 8, 8, 1).astype(np.float32)
+    masks = np.ones_like(mags)
+    masks[:, :, 3:5, :] = 0.0
+    batch_mod._chunk_fn.cache_clear()
+    cfg = UNetTrainConfig(epochs=120, scan_chunk=100)
+    restore_clips_unet(mags, masks, cfg, mesh=None, key=0)
+    info = batch_mod._chunk_fn.cache_info()
+    assert info.misses == 2, info   # one 100-epoch + one 20-epoch program
+
+
+def test_gan_batch_valid_ones_matches_default():
+    """valid_batch of all-ones == leaving it unset (pure plumbing check)."""
+    from audio_inpainting_tpu.methods.neural import GANTrainConfig
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(2)
+    G, F, T = 1, 8, 32
+    real = (rng.rand(G, F, T).astype(np.float32)) * 2 - 1
+    masks = np.ones_like(real)
+    masks[:, :, 10:16] = 0.0
+    norm = real * masks + (-1.0) * (1 - masks)
+    cfg = GANTrainConfig(epochs=3, scan_chunk=3)
+    a, _ = restore_clips_gan(norm, real, masks, cfg, key=1)
+    b, _ = restore_clips_gan(norm, real, masks, cfg, key=1,
+                             valid_batch=np.ones_like(real))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -106,3 +106,30 @@ def test_serve_skips_unreadable_files(tmp_path):
     assert res["skipped"][0]["file"] == "broken.wav"
     for name in names:
         assert (dout / name).exists()
+
+
+def test_serve_gan_skips_clip_missing_original(tmp_path):
+    from audio_inpainting_tpu.pipelines.serve import run_serve
+
+    din, dorig, names, _ = _make_corpus(tmp_path)
+    (dorig / names[1]).unlink()                      # second original gone
+    dout = tmp_path / "out_gan_missing"
+    res = run_serve(str(din), str(dout), method="gan", epochs=3,
+                    originals_dir=str(dorig))
+    assert (dout / names[0]).exists()
+    assert not (dout / names[1]).exists()
+    assert any(s["file"] == names[1] for s in res["skipped"])
+
+
+def test_serve_devices_validation(tmp_path):
+    import pytest
+
+    from audio_inpainting_tpu.pipelines.serve import run_serve
+
+    din, _, names, _ = _make_corpus(tmp_path)
+    with pytest.raises(ValueError):
+        run_serve(str(din), str(tmp_path / "x"), method="linear", devices=0)
+    # more devices than exist: clamped, still works
+    res = run_serve(str(din), str(tmp_path / "out_many"), method="linear",
+                    devices=10_000)
+    assert res["clips"] == len(names)
