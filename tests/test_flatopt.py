@@ -99,7 +99,8 @@ def test_unet_chunk_flat_matches_per_leaf():
                                    rtol=0, atol=1e-6)
 
 
-def test_gan_chunk_flat_matches_per_leaf():
+@pytest.mark.parametrize("bf16", [False, True])
+def test_gan_chunk_flat_matches_per_leaf(bf16):
     from audio_inpainting_tpu.methods.neural import (GANTrainConfig,
                                                      _d_model,
                                                      _gan_train_chunk, _nhwc,
@@ -115,7 +116,7 @@ def test_gan_chunk_flat_matches_per_leaf():
 
     outs = {}
     for flat in (True, False):
-        cfg = GANTrainConfig(flat_opt=flat)
+        cfg = GANTrainConfig(flat_opt=flat, bf16=bf16)
         kg, kd = jax.random.split(jax.random.PRNGKey(0))
         g_vars = PackedGeneratorUNet().init(kg, inp, True)
         d_vars = _d_model(cfg).init(kd, inp, True)
