@@ -49,6 +49,11 @@ class GPConfig:
     # overfitting the observed fine structure. k=1 reproduces sklearn's
     # setup exactly.
     fit_subsample: int = 2
+    # L-BFGS steps per device dispatch. One monolithic opt_steps-sized
+    # program crashed the axon TPU worker (round 2); short chunks keep each
+    # dispatch small. Raise for fewer host round trips once a worker proves
+    # stable at the larger program size.
+    fit_chunk: int = 10
     # diagonal regularizer: sklearn uses alpha=1e-10 in f64; f32 Cholesky
     # needs a larger floor or near-bound hyperparameters (noise -> 1e-5,
     # length scale at its cap) produce a singular factor and NaN posteriors
@@ -160,7 +165,7 @@ def _fit(x: jax.Array, y: jax.Array, cfg: GPConfig, key: jax.Array) -> jax.Array
     """
     to_theta, _ = _transforms(cfg)
     us, states = _init_restarts(cfg, key)
-    chunk = 10
+    chunk = max(1, cfg.fit_chunk)
     losses = None
     for start in range(0, cfg.opt_steps, chunk):
         n = min(chunk, cfg.opt_steps - start)
