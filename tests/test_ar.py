@@ -212,3 +212,23 @@ def test_chunk_smaller_than_order_raises():
     cfg = ARConfig(order=100, texture=False, context_len=1000, chunk=64)
     with pytest.raises(ValueError):
         ar_restore_gap(jnp.asarray(x), (1500, 1700), cfg)
+
+
+def test_chunked_multigap_matches_scan():
+    """Chunked engine over a BATCH of gaps (2 gaps x 2 directions = B=4)
+    matches the sequential scan engine through the public multi-gap API."""
+    rng = np.random.RandomState(21)
+    t = np.arange(12000)
+    x = (np.sin(t * 0.12) + 0.3 * np.sin(t * 0.05)
+         + 0.02 * rng.randn(12000)).astype(np.float32)
+    gaps = [(3000, 3300), (8000, 8500)]
+    base = ARConfig(order=24, alpha=0.2, texture=True, context_len=1500)
+    fast = ARConfig(order=24, alpha=0.2, texture=True, context_len=1500,
+                    chunk=64)
+    a = np.asarray(ar_restore_gaps(jnp.asarray(x), gaps, base,
+                                   key=jax.random.PRNGKey(9)))
+    b = np.asarray(ar_restore_gaps(jnp.asarray(x), gaps, fast,
+                                   key=jax.random.PRNGKey(9)))
+    np.testing.assert_allclose(b, a, atol=5e-3)
+    for s, e in gaps:
+        assert float(local_snr_db(x, b, s, e)) > 3.0
