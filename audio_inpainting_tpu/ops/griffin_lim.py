@@ -23,8 +23,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .stft import (StftConfig, _dft_matrices, _idft_matrices, hann_window,
-                   istft, overlap_add, polar, stft, torch_stft_config)
+from .stft import (StftConfig, _dft_matrices, _idft_matrices, frame_signal,
+                   hann_window, istft, overlap_add, polar, stft,
+                   torch_stft_config)
 
 _PREC = jax.lax.Precision.HIGH  # same rationale as ops/stft.py matmuls
 
@@ -37,6 +38,8 @@ def _fused_ok(cfg: StftConfig, length: int, n_frames: int) -> bool:
         return False
     if cfg.n_fft % cfg.hop:
         return False
+    if length < cfg.n_fft // 2 + 1:            # reflect slice c[1:half+1]
+        return False                           # needs half+1 samples
     r = cfg.n_fft // cfg.hop
     avail = (n_frames + r - 1) * cfg.hop - cfg.n_fft // 2
     if avail < length:                         # istft would zero-pad the tail
@@ -48,7 +51,7 @@ def _iter_fused(z: jax.Array, cfg: StftConfig, length: int, win: jax.Array,
                 den_safe: jax.Array) -> jax.Array:
     """stft(istft(z, cfg, length), cfg) without leaving frame/row space."""
     n_fft, hop = cfg.n_fft, cfg.hop
-    half, r = n_fft // 2, n_fft // hop
+    half = n_fft // 2
     n_frames = z.shape[1]
 
     # --- iSTFT: two matmuls + windowed overlap-add (ops/stft.py:171) ------
@@ -64,18 +67,12 @@ def _iter_fused(z: jax.Array, cfg: StftConfig, length: int, win: jax.Array,
     sig = num / den_safe                                 # den hoisted: const
     c = sig[half:half + length]
 
-    # --- reflect pad + re-frame as 4 shifted row slices -------------------
+    # --- reflect pad + re-frame (stft.frame_signal's row-slice fast path) -
     xp = jnp.concatenate(
         [jnp.flip(c[1:half + 1]), c, jnp.flip(c[-half - 1:-1])])
-    n_out = 1 + (xp.shape[0] - n_fft) // hop
-    pad = (-xp.shape[0]) % hop
-    rows = jnp.pad(xp, (0, pad)).reshape(-1, hop)
-    m = rows.shape[0]
-    f4 = jnp.stack([rows[j:m - (r - 1) + j] for j in range(r)],
-                   axis=1).reshape(-1, n_fft)
 
     # --- STFT: window + two matmuls (ops/stft.py:146) ---------------------
-    fw = f4[:n_out] * win[None, :]
+    fw = frame_signal(xp, n_fft, hop) * win[None, :]
     cos_m, sin_m = _dft_matrices(n_fft)
     re = jnp.dot(fw, jnp.asarray(cos_m),
                  preferred_element_type=jnp.float32, precision=_PREC)

@@ -31,10 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..packedconv import B, _band_kernel
 
 
-def pallas_supported() -> bool:
-    return jax.default_backend() == "tpu"
-
-
 _TH = 16  # tile rows: ~0.9 MB/tile at the GAN's 55 KB packed row, well
 # under the 16 MB scoped-VMEM limit with double buffering + f32 accumulators
 # (TH=43 measured 16.3 MB — over). Partial last tiles are handled by an
@@ -215,7 +211,12 @@ def conv3x3_packed_pl(xp: jax.Array, k: jax.Array,
     """Pallas twin of ops.packedconv.conv3x3_packed: 3x3 SAME conv on
     packed activations, (N, H, Wb, B*Ci) -> (N, H, Wb, B*Co).
 
-    k: (3, 3, Ci, Co) f32. Forward in xp's dtype, weight grad f32."""
+    k: (3, 3, Ci, Co) f32. Forward in xp's dtype, weight grad f32.
+
+    The batch loops below issue one pallas_call per sample — fine for the
+    per-clip trainers (N=1 everywhere in production); a batch grid
+    dimension would be needed before using these kernels at N>1 (each call
+    carries ~0.3 ms grid/DMA overhead, see packedconv.PCONV_USE_PALLAS)."""
     n, h, wb, bci = xp.shape
     ci = bci // B
     kb = _band_kernel(k)

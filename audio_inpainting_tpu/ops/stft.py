@@ -123,6 +123,12 @@ def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
     device time) vs ~0.1 ms for the row view.
     """
     n_frames = 1 + (x.shape[0] - frame_len) // hop
+    if n_frames < 1:
+        # a negative n_frames would silently mis-slice the fast path below
+        # (frames[:-k] returns wrong-count frames, no error downstream)
+        raise ValueError(
+            f"signal of {x.shape[0]} samples is shorter than one "
+            f"{frame_len}-sample frame; pad it (see StftConfig.pad_mode)")
     if frame_len % hop == 0:
         r = frame_len // hop
         pad = (-x.shape[0]) % hop

@@ -104,3 +104,17 @@ def test_restore_audio_uses_checkpoint(tmp_path):
     d[6000:9000] = 0.0
     out = diffusion_restore_audio(d, 16000, cfg, key=0, checkpoint_dir=ck)
     assert out.shape == d.shape and np.isfinite(out).all()
+
+
+def test_griffin_lim_short_spectrogram_falls_back():
+    """Spectrograms too short for the fused row-space round trip (length
+    under n_fft//2+1) must take the generic istft/stft path, not crash."""
+    import numpy as np
+
+    from audio_inpainting_tpu.ops.griffin_lim import griffin_lim
+
+    rng = np.random.RandomState(0)
+    mag = jnp.asarray(rng.rand(1025, 3).astype("float32"))
+    out = griffin_lim(mag, n_iter=2)
+    assert out.shape == (1024,)          # (n_frames-1)*hop + ... cropped
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -136,3 +136,12 @@ def test_griffin_lim_fused_iteration_matches_composition():
         ref = np.asarray(stft(istft(z, cfg, length), cfg)[:, :n_frames])
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_frame_signal_too_short_raises():
+    import pytest
+
+    from audio_inpainting_tpu.ops.stft import frame_signal
+
+    with pytest.raises(ValueError):
+        frame_signal(jnp.zeros(1900), 2048, 512)
