@@ -29,7 +29,10 @@ run ar_engines       1200 python tools/ar_chunk_time.py
 run serve_tp         3600 python tools/serve_throughput.py 400 1 4 8
 run serve_tp_gan     3600 env SERVE_METHOD=gan python tools/serve_throughput.py 1500 1 2
 
-# 5. Official bench (writes its own one-line JSON)
+# 5. MFU/roofline table refresh (updates docs/mfu_v5e.json)
+run mfu              2400 python tools/mfu.py
+
+# 6. Official bench (writes its own one-line JSON)
 run bench            5400 python bench.py
 
 echo "battery done; results in $OUT"
