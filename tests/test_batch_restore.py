@@ -93,3 +93,29 @@ def test_gan_batch_valid_ones_matches_default():
     b, _ = restore_clips_gan(norm, real, masks, cfg, key=1,
                              valid_batch=np.ones_like(real))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gan_batch_single_clip_matches_gan_train_restore():
+    """restore_clips_gan with one conforming clip reproduces the benched
+    single-clip gan_train_restore exactly (same per-clip key derivation:
+    the batch path folds split(key, G)[i])."""
+    import jax
+    from audio_inpainting_tpu.methods.neural import (GANTrainConfig,
+                                                     gan_train_restore)
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(7)
+    F, T = 8, 32                         # already %4 / %32: pads are no-ops
+    real = (rng.rand(F, T).astype(np.float32)) * 2 - 1
+    mask = np.ones_like(real)
+    mask[:, 10:18] = 0.0
+    norm = real * mask + (-1.0) * (1 - mask)
+    cfg = GANTrainConfig(epochs=4, scan_chunk=4)
+
+    key = jax.random.PRNGKey(11)
+    out_b, (dl, gl) = restore_clips_gan(norm[None], real[None], mask[None],
+                                        cfg, key=key)
+    clip_key = jax.random.split(key, 1)[0]
+    out_s, _ = gan_train_restore(norm, real, mask, cfg, key=clip_key)
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_s),
+                               atol=1e-6)
