@@ -153,10 +153,10 @@ def _valid4(f: int, t: int) -> jax.Array:
 # ---------------------------------------------------------------- U-Net ----
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
-                   donate_argnums=(0, 1))
-def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
-                      cfg: UNetTrainConfig, n_epochs: int):
+def _unet_scan_core(params, opt_state, inp, tgt, mask, valid,
+                    cfg: UNetTrainConfig, n_epochs: int):
+    """The U-Net per-clip training scan; call under jit (or lax.map — the
+    batched serving mode reuses this exact core per clip)."""
     model = PackedSimpleUNet(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr)
     inv = (1.0 - mask) * valid
@@ -193,6 +193,14 @@ def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
     (params, opt_state), losses = jax.lax.scan(
         epoch, (params, opt_state), None, length=n_epochs)
     return params, opt_state, losses
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_epochs"),
+                   donate_argnums=(0, 1))
+def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
+                      cfg: UNetTrainConfig, n_epochs: int):
+    return _unet_scan_core(params, opt_state, inp, tgt, mask, valid, cfg,
+                           n_epochs)
 
 
 def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),

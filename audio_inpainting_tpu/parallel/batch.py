@@ -10,7 +10,11 @@ parallel/train.py's shared-model all-reduce mode).
 Inside each shard the clips run under ``lax.map`` (sequential per device):
 vmapping over per-clip conv kernels would lower to grouped convolutions,
 which XLA rejects for the 1-channel output head — map keeps each clip's
-convs ordinary while the mesh provides the parallelism.
+convs ordinary while the mesh provides the parallelism. Each mapped
+element calls methods.neural._unet_scan_core — the EXACT training program
+of the benched single-clip path (lane-packed model, masked sum/denom
+loss, flat-vector Adam), so the batched path cannot drift from it
+(equivalence pinned in tests/test_batch_restore.py).
 """
 
 from __future__ import annotations
@@ -22,51 +26,38 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..methods.neural import UNetTrainConfig
-from ..models.unet import SimpleUNet
+from ..methods.neural import UNetTrainConfig, _dtype, _unet_scan_core
+from ..models.packed_unet import PackedSimpleUNet
 from .mesh import make_mesh
 
-_MODEL = SimpleUNet()
 
+def _local_init(keys, inp, cfg: UNetTrainConfig):
+    model = PackedSimpleUNet(dtype=_dtype(cfg))
 
-def _local_init(keys, inp):
     def one(args):
         k, x = args
-        return _MODEL.init(k, x[None])["params"]
+        return model.init(k, x[None])["params"]
 
     return jax.lax.map(one, (keys, inp))
 
 
-def _local_chunk(params, opt_state, inp, tgt, msk, cfg: UNetTrainConfig,
-                 n_epochs: int):
-    tx = optax.adam(cfg.lr)
-
+def _local_chunk(params, opt_state, inp, tgt, msk, vld,
+                 cfg: UNetTrainConfig, n_epochs: int):
     def one(args):
-        p, st, x, t, m = args
-        inv = 1.0 - m
-
-        def loss_fn(pp):
-            out = _MODEL.apply({"params": pp}, x[None])[0]
-            if cfg.masked_loss:
-                return jnp.mean((out * inv - t * inv) ** 2)
-            return jnp.mean((out - t) ** 2)
-
-        def epoch(carry, _):
-            pp, sst = carry
-            loss, g = jax.value_and_grad(loss_fn)(pp)
-            upd, sst = tx.update(g, sst, pp)
-            return (optax.apply_updates(pp, upd), sst), loss
-
-        (p, st), losses = jax.lax.scan(epoch, (p, st), None, length=n_epochs)
+        p, st, x, t, m, v = args
+        p, st, losses = _unet_scan_core(p, st, x[None], t[None], m[None],
+                                        v[None], cfg, n_epochs)
         return p, st, losses[-1]
 
-    return jax.lax.map(one, (params, opt_state, inp, tgt, msk))
+    return jax.lax.map(one, (params, opt_state, inp, tgt, msk, vld))
 
 
-def _local_composite(params, inp, msk):
+def _local_composite(params, inp, msk, cfg: UNetTrainConfig):
+    model = PackedSimpleUNet(dtype=_dtype(cfg))
+
     def one(args):
         p, x, m = args
-        pred = _MODEL.apply({"params": p}, x[None])[0]
+        pred = model.apply({"params": p}, x[None])[0]
         return x + pred * (1.0 - m)
 
     return jax.lax.map(one, (params, inp, msk))
@@ -76,9 +67,9 @@ def _local_composite(params, inp, msk):
 # inside restore_clips_unet would recompile every stage on every call in a
 # long-lived serving process.
 @functools.lru_cache(maxsize=8)
-def _init_fn(mesh: Mesh):
-    return jax.jit(jax.shard_map(_local_init, mesh=mesh,
-                                 in_specs=(P("dp"), P("dp")),
+def _init_fn(mesh: Mesh, cfg: UNetTrainConfig):
+    return jax.jit(jax.shard_map(functools.partial(_local_init, cfg=cfg),
+                                 mesh=mesh, in_specs=(P("dp"), P("dp")),
                                  out_specs=P("dp")))
 
 
@@ -94,25 +85,38 @@ def _chunk_fn(mesh: Mesh, cfg: UNetTrainConfig, n_epochs: int):
     return jax.jit(
         jax.shard_map(functools.partial(_local_chunk, cfg=cfg,
                                         n_epochs=n_epochs),
-                      mesh=mesh, in_specs=(P("dp"),) * 5,
+                      mesh=mesh, in_specs=(P("dp"),) * 6,
                       out_specs=(P("dp"), P("dp"), P("dp"))),
         donate_argnums=(0, 1))
 
 
 @functools.lru_cache(maxsize=8)
-def _comp_fn(mesh: Mesh):
-    return jax.jit(jax.shard_map(_local_composite, mesh=mesh,
-                                 in_specs=(P("dp"),) * 3, out_specs=P("dp")))
+def _comp_fn(mesh: Mesh, cfg: UNetTrainConfig):
+    return jax.jit(jax.shard_map(functools.partial(_local_composite,
+                                                   cfg=cfg),
+                                 mesh=mesh, in_specs=(P("dp"),) * 3,
+                                 out_specs=P("dp")))
 
 
 def restore_clips_unet(mag_norm_batch, mask_batch,
                        cfg: UNetTrainConfig = UNetTrainConfig(),
                        mesh: Mesh | None = None,
-                       key: jax.Array | int = 0):
+                       key: jax.Array | int = 0,
+                       valid_batch=None,
+                       composite_mask_batch=None):
     """Restore a batch of clips' normalized magnitudes, one U-Net per clip.
 
-    mag_norm_batch, mask_batch: (B, F, T, 1), F/T multiples of 4, B divisible
-    by the mesh size. Returns (composited (B, F, T, 1), per-clip final loss).
+    mag_norm_batch, mask_batch: (B, F, T, 1), F % 4 == 0 and T % 32 == 0
+    (the lane-packed model's divisors), B divisible by the mesh size;
+    mask 1 = kept. valid_batch (optional, same shape, 1 = real content):
+    each clip's true extent when the caller pre-pads unequal lengths — pad
+    cells leave the loss numerator AND denominator, matching the
+    single-clip unet_train_restore semantics. composite_mask_batch
+    (optional): the mask used for the final input+pred*(1-mask) composite
+    when it differs from the TRAINING mask — serving trains on synthetic
+    masks over intact content and composites over the real damage
+    (pipelines/serve.py). Returns (composited (B, F, T, 1), per-clip final
+    loss).
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
@@ -123,9 +127,13 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
     B = mag.shape[0]
     assert B % mesh.devices.size == 0, (B, mesh.devices.size)
     inp = mag * msk
+    vld = (jnp.ones_like(mag) if valid_batch is None
+           else jnp.asarray(valid_batch, jnp.float32))
+    cmsk = (msk if composite_mask_batch is None
+            else jnp.asarray(composite_mask_batch, jnp.float32))
     keys = jax.random.split(key, B)
 
-    params = _init_fn(mesh)(keys, inp)
+    params = _init_fn(mesh, cfg)(keys, inp)
     opt_state = _opt_init_fn(mesh)(params)
 
     final_loss = None
@@ -133,7 +141,7 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
     while done < cfg.epochs:
         n = min(cfg.scan_chunk, cfg.epochs - done)   # never overshoot epochs
         params, opt_state, final_loss = _chunk_fn(mesh, cfg, n)(
-            params, opt_state, inp, mag, msk)
+            params, opt_state, inp, mag, msk, vld)
         done += n
 
-    return _comp_fn(mesh)(params, inp, msk), final_loss
+    return _comp_fn(mesh, cfg)(params, mag * cmsk, cmsk), final_loss

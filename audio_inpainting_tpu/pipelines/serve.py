@@ -132,14 +132,39 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
                 else a)
 
     if method == "unet":
+        import jax
+        import jax.numpy as _jnp
+
+        from ..corrupt import random_frame_mask
+
         peak = mags.max(axis=(1, 2), keepdims=True)
         peak = np.maximum(peak, 1e-12)
         norm = (mags / peak).astype(np.float32)
+        # Train on SYNTHETIC frame dropouts over the intact content
+        # (reference main5_UNet_mask.py:111-127 semantics: the net learns to
+        # fill columns from context), then composite over the REAL damage.
+        # Training directly against the detected-damage mask would teach
+        # the net that holes contain silence — its targets there ARE the
+        # damaged (silent) columns.
+        ff, tt = norm.shape[1], norm.shape[2]
+        syn = np.stack([
+            np.asarray(random_frame_mask(
+                jax.random.fold_in(jax.random.PRNGKey(seed), i), ff, tt))
+            for i in range(g)])
+        train_mask = (masks * syn).astype(np.float32)  # real-damage AND syn
+        valid = np.zeros_like(norm)
+        for i, c in enumerate(clips):
+            valid[i, :f, :c[2].shape[1]] = 1.0
+        # loss only where content is real: synthetic holes inside intact,
+        # true-extent cells (real holes have no target and stay out)
+        valid = valid * masks
         cfg = UNetTrainConfig(epochs=epochs,
                               scan_chunk=min(100, epochs))
         out, _ = restore_clips_unet(
-            _batch_pad(norm)[..., None], _batch_pad(masks)[..., None],
-            cfg=cfg, mesh=mesh, key=seed)
+            _batch_pad(norm)[..., None], _batch_pad(train_mask)[..., None],
+            cfg=cfg, mesh=mesh, key=seed,
+            valid_batch=_batch_pad(valid)[..., None],
+            composite_mask_batch=_batch_pad(masks)[..., None])
         final = np.asarray(out)[:g, :, :, 0] * peak
     elif method == "gan":
         rmags = np.stack([_pad_to(c[2], t_pad, 0.0) for c in orig_clips])

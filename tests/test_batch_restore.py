@@ -10,7 +10,7 @@ from audio_inpainting_tpu.parallel.batch import restore_clips_unet
 
 def test_batch_restore_8_clips_dp_sharded():
     rng = np.random.RandomState(0)
-    B, F, T = 8, 32, 48
+    B, F, T = 8, 32, 64
     a = np.abs(rng.randn(B, 4, 1)) ; b = np.abs(rng.randn(B, 1, T))
     mags = np.einsum("bfo,bot->bft", np.abs(rng.randn(B, F, 4)), np.abs(rng.randn(B, 4, T)))
     mags = (mags / mags.max(axis=(1, 2), keepdims=True)).astype(np.float32)[..., None]
@@ -67,7 +67,7 @@ def test_batch_restore_respects_epoch_count():
     from audio_inpainting_tpu.parallel import batch as batch_mod
 
     rng = np.random.RandomState(1)
-    mags = rng.rand(1, 8, 8, 1).astype(np.float32)
+    mags = rng.rand(1, 8, 32, 1).astype(np.float32)
     masks = np.ones_like(mags)
     masks[:, :, 3:5, :] = 0.0
     batch_mod._chunk_fn.cache_clear()
@@ -119,3 +119,44 @@ def test_gan_batch_single_clip_matches_gan_train_restore():
     out_s, _ = gan_train_restore(norm, real, mask, cfg, key=clip_key)
     np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_s),
                                atol=1e-6)
+
+
+def test_unet_batch_single_clip_matches_unet_train_restore():
+    """restore_clips_unet with one conforming clip reproduces the benched
+    single-clip unet_train_restore (same packed trainer core, same keys)."""
+    import jax
+    from audio_inpainting_tpu.methods.neural import unet_train_restore
+
+    rng = np.random.RandomState(9)
+    F, T = 8, 32                         # %4 / %32: single-clip pads no-op
+    mag = rng.rand(F, T).astype(np.float32)
+    mask = np.ones_like(mag)
+    mask[:, 12:20] = 0.0
+    cfg = UNetTrainConfig(epochs=5, scan_chunk=5)
+
+    key = jax.random.PRNGKey(4)
+    out_b, _ = restore_clips_unet(mag[None, ..., None],
+                                  mask[None, ..., None], cfg, key=key)
+    clip_key = jax.random.split(key, 1)[0]
+    final, _, _ = unet_train_restore(mag, mask, cfg, key=clip_key)
+    np.testing.assert_allclose(np.asarray(out_b[0, :, :, 0]),
+                               np.asarray(final), atol=1e-6)
+
+
+def test_unet_batch_composite_mask_differs_from_train_mask():
+    """Serving scheme: train on synthetic holes, composite over real ones —
+    the composite keeps the input exactly where composite_mask == 1."""
+    rng = np.random.RandomState(12)
+    mag = rng.rand(1, 8, 32, 1).astype(np.float32)
+    train_mask = np.ones_like(mag)
+    train_mask[:, :, 5:9, :] = 0.0       # synthetic training holes
+    comp_mask = np.ones_like(mag)
+    comp_mask[:, :, 20:26, :] = 0.0      # the real damage
+    cfg = UNetTrainConfig(epochs=4, scan_chunk=4)
+    out, _ = restore_clips_unet(mag, train_mask, cfg, key=0,
+                                composite_mask_batch=comp_mask)
+    out = np.asarray(out)
+    keep = comp_mask[0, :, :, 0] == 1
+    np.testing.assert_allclose(out[0, :, :, 0][keep],
+                               mag[0, :, :, 0][keep], atol=1e-6)
+    assert np.isfinite(out).all()
