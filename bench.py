@@ -147,32 +147,64 @@ def comparable_seconds(res: dict) -> float:
     return s
 
 
-def _arm_watchdog(seconds: int) -> None:
+def _emit_stall(reason: str) -> None:
+    print(json.dumps({"metric": "suite_wall_clock_s", "value": None,
+                      "unit": "s", "vs_baseline": 0.0, "error": reason}))
+    sys.stdout.flush()
+
+
+def _arm_watchdog(seconds: int):
     """Fail LOUDLY instead of hanging forever when the TPU tunnel stalls.
 
     The axon tunnel has been observed to hang indefinitely on device
-    enumeration/compile RPCs (round 3: >2 h unresponsive). A silent hang
+    enumeration/compile RPCs (round 3: >8 h unresponsive). A silent hang
     leaves no bench record at all; this prints a diagnostic JSON line on
     the same contract as the success path and exits nonzero so the driver
-    can retry."""
-    import signal
+    can retry.
 
-    def _timeout(signum, frame):
-        print(json.dumps({"metric": "suite_wall_clock_s", "value": None,
-                          "unit": "s", "vs_baseline": 0.0,
-                          "error": f"bench watchdog: no result within "
-                                   f"{seconds}s (TPU tunnel stalled?)"}))
-        sys.stdout.flush()
-        os._exit(2)
+    A daemon THREAD, not SIGALRM: the observed hang blocks the main thread
+    inside a PJRT C++ RPC, where a Python signal handler never gets to run
+    (handlers execute between bytecodes on the main thread). os._exit from
+    another thread works regardless. Returns the event to set on success."""
+    import threading
 
-    signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(seconds)
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(seconds):
+            _emit_stall(f"bench watchdog: no result within {seconds}s "
+                        f"(TPU tunnel stalled?)")
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+    return done
+
+
+def _probe_devices(timeout_s: int) -> bool:
+    """Bounded device-enumeration probe in a SUBPROCESS (a stalled tunnel
+    hangs jax.devices() in C land; only an external kill is reliable).
+    Lets a dead tunnel fail the bench in minutes, not the full watchdog
+    budget, so the driver can retry sooner."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main() -> int:
     from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
 
-    _arm_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
+    probe_s = int(os.environ.get("BENCH_PROBE_S", "600"))
+    if not _probe_devices(probe_s):
+        _emit_stall(f"bench probe: device enumeration did not complete "
+                    f"within {probe_s}s (TPU tunnel down?)")
+        return 2
+    done = _arm_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
     _enable_compilation_cache()
 
     diffusion_cfg = DiffusionConfig(train_steps=1500)
@@ -200,9 +232,7 @@ def main() -> int:
         ref_s = baseline.get("comparable_suite_wall_s", 0.0)
         if ref_s:
             vs = ref_s / ours
-    import signal
-
-    signal.alarm(0)
+    done.set()
     print(json.dumps({"metric": "suite_wall_clock_s",
                       "value": round(ours, 2), "unit": "s",
                       "vs_baseline": round(vs, 2),

@@ -15,6 +15,20 @@ from audio_inpainting_tpu.ops.packedconv import conv3x3_packed, pack
 from audio_inpainting_tpu.ops.pallas.pconv import conv3x3_packed_pl
 
 
+@pytest.fixture(autouse=True)
+def _drop_compiled_programs_between_tests():
+    """Per-TEST cache drop (stronger than conftest's per-module drop).
+
+    This module compiles the largest programs in the suite (dense
+    conv4x4s2 grads, interpret-mode pallas twins); it is where the
+    aged-process XLA:CPU backend_compile_and_load segfault still
+    reproduces when only module-boundary clearing bounds the executable
+    population. Each test recompiles from scratch — slower, but immune.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("h,w,ci,co", [
     (13, 16, 16, 16),    # partial last tile
     (16, 32, 4, 8),      # small channels
