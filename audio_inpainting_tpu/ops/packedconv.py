@@ -65,6 +65,32 @@ def _band_kernel(k: jax.Array) -> jax.Array:
     return jnp.concatenate(rows, axis=1)
 
 
+def _band_kernel_gather(k: jax.Array) -> jax.Array:
+    """_band_kernel as ONE static gather instead of ~18 concats.
+
+    Extend k with a zero tap at index 3, then index (3, 4, Ci, Co) with the
+    precomputed (B+2, B) tap map tap[p, j] = p - j if in [0, 3) else 3 —
+    a single gather HLO per build instead of a concat tree. Same values
+    bitwise; candidate for the GAN epoch's op-count lever (the build runs
+    every epoch inside the training scan, once per conv). Enable with
+    AIT_BAND_GATHER=1 for the TPU A/B."""
+    _, _, ci, co = k.shape
+    ke = jnp.concatenate([k, jnp.zeros((3, 1, ci, co), k.dtype)], axis=1)
+    p = jnp.arange(B + 2)[:, None]
+    j = jnp.arange(B)[None, :]
+    tap = jnp.where((p - j >= 0) & (p - j < 3), p - j, 3)   # (B+2, B)
+    kb = ke[:, tap]                                         # (3,B+2,B,Ci,Co)
+    return kb.transpose(0, 1, 3, 2, 4).reshape(3, (B + 2) * ci, B * co)
+
+
+def _band_kernel_auto(k: jax.Array) -> jax.Array:
+    import os
+
+    if os.environ.get("AIT_BAND_GATHER") == "1":
+        return _band_kernel_gather(k)
+    return _band_kernel(k)
+
+
 def _gather_xb(xp: jax.Array, ci: int) -> jax.Array:
     """(N, H, Wb, B*Ci) -> (N, H+2, Wb, (B+2)*Ci): zero H pad + the
     neighbor blocks' boundary columns appended in the lane dimension."""
@@ -81,7 +107,7 @@ def _conv_packed(xp, k):
     ci = bci // B
     co = k.shape[3]
     xb = _gather_xb(xp, ci)
-    kb = _band_kernel(k.astype(xp.dtype))
+    kb = _band_kernel_auto(k.astype(xp.dtype))
     # lane order in xb is [left | core | right] = position index -1..B, so
     # the band kernel's row j*Ci starts at lane (j)*Ci of the core -> offset
     # by Ci for the left column: xb lanes (dw+j)*Ci line up with kb rows.

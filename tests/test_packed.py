@@ -105,3 +105,17 @@ def test_packed_discriminator_matches_standard():
                     jax.tree_util.tree_leaves(upd_ref["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_band_kernel_gather_matches_concat_build():
+    """The single-gather band-kernel build (AIT_BAND_GATHER=1 candidate)
+    is bitwise-identical to the shipped concat build for every conv shape
+    the models use."""
+    from audio_inpainting_tpu.ops.packedconv import (_band_kernel,
+                                                     _band_kernel_gather)
+
+    rng = np.random.RandomState(3)
+    for ci, co in [(1, 16), (16, 16), (16, 32), (32, 64), (64, 32), (48, 16)]:
+        k = jnp.asarray(rng.randn(3, 3, ci, co), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(_band_kernel_gather(k)),
+                                      np.asarray(_band_kernel(k)))
