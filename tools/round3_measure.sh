@@ -19,6 +19,14 @@ run() {  # run <name> <timeout_s> <cmd...>
 run gan_epoch_flat   1200 python tools/gan_epoch_time.py packed 100 flat
 run gan_epoch_plain  1200 python tools/gan_epoch_time.py packed 100 plain
 
+# 1b. Op-count lever A/Bs on the GAN epoch: single-gather band-kernel
+# build (bitwise-equal values, tests/test_packed.py) and the latency-
+# hiding scheduler flag. Flip defaults only if these WIN.
+run gan_epoch_gather 1200 env AIT_BAND_GATHER=1 \
+    python tools/gan_epoch_time.py packed 100 flat
+run gan_epoch_lhs    1200 env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=true \
+    python tools/gan_epoch_time.py packed 100 flat
+
 # 2. GAN wall attribution, production 1500 epochs (compile + steady runs)
 run gan_wall         2400 python tools/gan_wall_probe.py 1500
 
