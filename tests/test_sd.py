@@ -372,3 +372,34 @@ def test_load_riffusion_from_synthetic_checkpoint(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_riffusion(str(tmp_path / "missing"), ucfg, vcfg,
                        load_text=False)
+
+
+def test_denoise_loop_masked_latent_end_composite():
+    """The masked-latent schedule's endpoint contract
+    (main_diffusion_gap.py:61-67 semantics via diffusers' legacy 4-channel
+    path): after the final PLMS step the region OUTSIDE the hole is snapped
+    to the CLEAN image latents exactly — inpainting may only write inside
+    the mask."""
+    from audio_inpainting_tpu.models.sd.pipeline import _denoise_loop
+
+    ucfg = UNetConfig.tiny()
+    cfg = InpaintConfig(steps=3, unet=ucfg, vae=VAEConfig.tiny())
+    h = w = 8
+    unet = UNet2DCondition(ucfg)
+    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 4)),
+                   jnp.zeros((1,)),
+                   jnp.zeros((1, 7, ucfg.cross_attention_dim)))["params"]
+    rng = np.random.default_rng(11)
+    init = jnp.asarray(rng.normal(size=(1, h, w, 4)), jnp.float32)
+    hole = np.zeros((1, h, w, 1), np.float32)
+    hole[:, :, 3:6, :] = 1.0
+    ctx = jnp.asarray(rng.normal(size=(2, 7, ucfg.cross_attention_dim)),
+                      jnp.float32)
+    out = _denoise_loop(up, init, jnp.asarray(hole), ctx,
+                        jax.random.PRNGKey(2), cfg)
+    out = np.asarray(out)
+    keep = hole[0, :, :, 0] == 0
+    np.testing.assert_array_equal(out[0][keep], np.asarray(init)[0][keep])
+    inside = out[0][~keep]
+    assert np.isfinite(inside).all()
+    assert np.abs(inside - np.asarray(init)[0][~keep]).max() > 1e-6
