@@ -63,14 +63,21 @@ def center_gap_bounds(n_samples: int, sr: int, half_seconds: float = 1.0) -> tup
 
 def random_frame_mask(key: jax.Array, n_freq: int, n_frames: int,
                       mask_ratio: float = 0.3, min_time_mask: int = 5,
-                      max_time_mask: int = 30) -> jax.Array:
+                      max_time_mask: int = 30,
+                      min_segments: int = 0) -> jax.Array:
     """SpecAugment-style random STFT-frame dropout (Part-1 U-Net corruption).
 
     Matches reference main5_UNet_mask.py:111-127: full-band vertical stripes,
     num_segments = time*ratio/max*2, widths uniform in [min, max).
     Returns a float (n_freq, n_frames) mask, 1 = keep.
+
+    min_segments (beyond-reference, default 0 = exact reference semantics):
+    floor on the stripe count, for short clips where the reference formula
+    truncates to 0 segments and the mask degenerates to all-kept (the
+    serving layer needs at least one synthetic hole to train on).
     """
-    num_segments = int(n_frames * mask_ratio / max_time_mask * 2)
+    num_segments = max(min_segments,
+                       int(n_frames * mask_ratio / max_time_mask * 2))
     k1, k2 = jax.random.split(key)
     lens = jax.random.randint(k1, (num_segments,), min_time_mask, max_time_mask)
     starts = jax.random.randint(k2, (num_segments,), 0, n_frames - lens)

@@ -31,6 +31,14 @@ from ..models.packed_unet import PackedSimpleUNet
 from .mesh import make_mesh
 
 
+def _pad4_batch(x: jax.Array, value: float) -> jax.Array:
+    """(B, F, T, 1) -> (B, F4, T32, 1): F to %4, T to %32 (two pools x the
+    8-wide lane packing — the same divisors as methods.neural._pad4)."""
+    _, f, t, _ = x.shape
+    return jnp.pad(x, ((0, 0), (0, (-f) % 4), (0, (-t) % 32), (0, 0)),
+                   constant_values=value)
+
+
 def _local_init(keys, inp, cfg: UNetTrainConfig):
     model = PackedSimpleUNet(dtype=_dtype(cfg))
 
@@ -106,10 +114,12 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
                        composite_mask_batch=None):
     """Restore a batch of clips' normalized magnitudes, one U-Net per clip.
 
-    mag_norm_batch, mask_batch: (B, F, T, 1), F % 4 == 0 and T % 32 == 0
-    (the lane-packed model's divisors), B divisible by the mesh size;
-    mask 1 = kept. valid_batch (optional, same shape, 1 = real content):
-    each clip's true extent when the caller pre-pads unequal lengths — pad
+    mag_norm_batch, mask_batch: (B, F, T, 1), any F/T — padded internally
+    to the lane-packed model's divisors (F%4, T%32) and trimmed on return,
+    like the single-clip unet_train_restore and the GAN twin
+    (gan_batch.restore_clips_gan). B must divide by the mesh size; mask
+    1 = kept. valid_batch (optional, same shape, 1 = real content): each
+    clip's true extent when the caller pre-pads unequal lengths — pad
     cells leave the loss numerator AND denominator, matching the
     single-clip unet_train_restore semantics. composite_mask_batch
     (optional): the mask used for the final input+pred*(1-mask) composite
@@ -124,13 +134,20 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
         mesh = make_mesh(1)
     mag = jnp.asarray(mag_norm_batch, jnp.float32)
     msk = jnp.asarray(mask_batch, jnp.float32)
-    B = mag.shape[0]
+    B, f0, t0 = mag.shape[0], mag.shape[1], mag.shape[2]
     assert B % mesh.devices.size == 0, (B, mesh.devices.size)
+    # divisor padding: mag 0, mask 1 (pad = kept, excluded from the masked
+    # loss), valid 0 (pad cells leave numerator AND denominator), composite
+    # mask 1 (pad cells pass the input through; trimmed off below anyway)
+    mag = _pad4_batch(mag, 0.0)
+    msk = _pad4_batch(msk, 1.0)
     inp = mag * msk
-    vld = (jnp.ones_like(mag) if valid_batch is None
-           else jnp.asarray(valid_batch, jnp.float32))
+    vld = _pad4_batch(jnp.ones((B, f0, t0, 1), jnp.float32)
+                      if valid_batch is None
+                      else jnp.asarray(valid_batch, jnp.float32), 0.0)
     cmsk = (msk if composite_mask_batch is None
-            else jnp.asarray(composite_mask_batch, jnp.float32))
+            else _pad4_batch(jnp.asarray(composite_mask_batch, jnp.float32),
+                             1.0))
     keys = jax.random.split(key, B)
 
     params = _init_fn(mesh, cfg)(keys, inp)
@@ -144,4 +161,5 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
             params, opt_state, inp, mag, msk, vld)
         done += n
 
-    return _comp_fn(mesh, cfg)(params, mag * cmsk, cmsk), final_loss
+    out = _comp_fn(mesh, cfg)(params, mag * cmsk, cmsk)
+    return out[:, :f0, :t0], final_loss

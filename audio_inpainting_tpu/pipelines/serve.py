@@ -50,6 +50,52 @@ def _pad_to(a: np.ndarray, t: int, value: float) -> np.ndarray:
     return np.pad(a, ((0, 0), (0, t - a.shape[1])), constant_values=value)
 
 
+def _true_extent_mask(shape, f: int, clips) -> np.ndarray:
+    """1 over each clip's true (f, t_i) extent of the padded batch array
+    (shared by the unet and gan branches: pad cells must never enter a
+    reconstruction loss)."""
+    valid = np.zeros(shape, np.float32)
+    for i, c in enumerate(clips):
+        valid[i, :f, :min(c[2].shape[1], shape[2])] = 1.0
+    return valid
+
+
+def _synthetic_train_masks(seed: int, clips, masks: np.ndarray) -> np.ndarray:
+    """Per-clip synthetic stripe masks for serving-mode U-Net training
+    (1 = keep). Stripes are drawn over each clip's TRUE frame extent —
+    never the divisor/batch padding — with widths clamped for short clips
+    and at least one stripe (the reference stripe-count formula truncates
+    to 0 under ~50 frames, which would leave the loss identically zero and
+    ship an UNTRAINED net's output into the real holes). Resamples up to 8
+    times if every stripe landed on already-damaged columns, so each clip
+    gets >= 1 trainable cell (intact AND synthetically hidden) whenever
+    one exists."""
+    import jax
+
+    from ..corrupt import random_frame_mask
+
+    g, _, t_pad = masks.shape
+    syn = np.ones_like(masks)
+    base = jax.random.PRNGKey(seed)
+    for i, c in enumerate(clips):
+        t_i = min(c[2].shape[1], t_pad)
+        if t_i < 4:                 # too short for stripes: hide one column
+            syn[i, :, t_i // 2] = 0.0
+            continue
+        mt = min(30, max(2, t_i // 2))       # stripe width in [mn, mt)
+        mn = max(1, min(5, mt - 1))
+        intact = masks[i, 0, :t_i] > 0       # full-band stripes: row 0 view
+        m = None
+        for attempt in range(8):
+            m = np.asarray(random_frame_mask(
+                jax.random.fold_in(base, i * 8 + attempt), 1, t_i,
+                min_time_mask=mn, max_time_mask=mt, min_segments=1))[0]
+            if ((m == 0) & intact).any() or not intact.any():
+                break
+        syn[i, :, :t_i] = m[None, :]
+    return syn
+
+
 def run_serve(input_dir: str, output_dir: str, method: str = "unet",
               epochs: int = 400, originals_dir: str | None = None,
               seed: int = 0, devices: int = 1) -> dict:
@@ -132,11 +178,6 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
                 else a)
 
     if method == "unet":
-        import jax
-        import jax.numpy as _jnp
-
-        from ..corrupt import random_frame_mask
-
         peak = mags.max(axis=(1, 2), keepdims=True)
         peak = np.maximum(peak, 1e-12)
         norm = (mags / peak).astype(np.float32)
@@ -146,18 +187,11 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         # Training directly against the detected-damage mask would teach
         # the net that holes contain silence — its targets there ARE the
         # damaged (silent) columns.
-        ff, tt = norm.shape[1], norm.shape[2]
-        syn = np.stack([
-            np.asarray(random_frame_mask(
-                jax.random.fold_in(jax.random.PRNGKey(seed), i), ff, tt))
-            for i in range(g)])
+        syn = _synthetic_train_masks(seed, clips, masks)
         train_mask = (masks * syn).astype(np.float32)  # real-damage AND syn
-        valid = np.zeros_like(norm)
-        for i, c in enumerate(clips):
-            valid[i, :f, :c[2].shape[1]] = 1.0
         # loss only where content is real: synthetic holes inside intact,
         # true-extent cells (real holes have no target and stay out)
-        valid = valid * masks
+        valid = _true_extent_mask(norm.shape, f, clips) * masks
         cfg = UNetTrainConfig(epochs=epochs,
                               scan_chunk=min(100, epochs))
         out, _ = restore_clips_unet(
@@ -176,9 +210,7 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         rnorm = (2 * (rmags - lo) / (hi - lo) - 1).astype(np.float32)
         # each clip's true (f, t_i) extent: pad cells must not enter the L1
         # reconstruction term (single-clip _valid4 semantics)
-        valid = np.zeros_like(norm)
-        for i, c in enumerate(clips):
-            valid[i, :f, :c[2].shape[1]] = 1.0
+        valid = _true_extent_mask(norm.shape, f, clips)
         cfg = GANTrainConfig(epochs=epochs, bf16=True,
                              scan_chunk=min(100, epochs))
         out, _ = restore_clips_gan(_batch_pad(norm), _batch_pad(rnorm),

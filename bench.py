@@ -180,31 +180,41 @@ def _arm_watchdog(seconds: int):
     return done
 
 
-def _probe_devices(timeout_s: int) -> bool:
+def _probe_devices(timeout_s: int) -> str | None:
     """Bounded device-enumeration probe in a SUBPROCESS (a stalled tunnel
     hangs jax.devices() in C land; only an external kill is reliable).
     Lets a dead tunnel fail the bench in minutes, not the full watchdog
-    budget, so the driver can retry sooner."""
+    budget, so the driver can retry sooner. Returns None on success, else
+    a diagnostic string that distinguishes a hang (tunnel down) from an
+    instant nonzero exit (broken install — retrying won't help)."""
     import subprocess
 
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        if r.returncode == 0:
+            return None
+        tail = r.stderr.decode("utf-8", errors="replace").strip()[-400:]
+        return (f"device probe exited rc={r.returncode} "
+                f"(NOT a tunnel hang): {tail}")
     except subprocess.TimeoutExpired:
-        return False
+        return (f"device enumeration did not complete within {timeout_s}s "
+                f"(TPU tunnel down?)")
 
 
 def main() -> int:
     from audio_inpainting_tpu.methods.diffusion import DiffusionConfig
 
-    probe_s = int(os.environ.get("BENCH_PROBE_S", "600"))
-    if not _probe_devices(probe_s):
-        _emit_stall(f"bench probe: device enumeration did not complete "
-                    f"within {probe_s}s (TPU tunnel down?)")
-        return 2
+    # watchdog is armed BEFORE the probe so its budget covers the whole
+    # process: an outer driver timeout need only exceed BENCH_WATCHDOG_S
+    # (not watchdog + probe) for the stall JSON to get out first
     done = _arm_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "5400")))
+    probe_s = int(os.environ.get("BENCH_PROBE_S", "600"))
+    err = _probe_devices(probe_s)
+    if err is not None:
+        _emit_stall(f"bench probe: {err}")
+        return 2
     _enable_compilation_cache()
 
     diffusion_cfg = DiffusionConfig(train_steps=1500)

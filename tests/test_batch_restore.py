@@ -160,3 +160,23 @@ def test_unet_batch_composite_mask_differs_from_train_mask():
     np.testing.assert_allclose(out[0, :, :, 0][keep],
                                mag[0, :, :, 0][keep], atol=1e-6)
     assert np.isfinite(out).all()
+
+
+def test_unet_batch_internal_divisor_padding():
+    """Arbitrary (F, T) — padded to the F%4/T%32 divisors internally and
+    trimmed on return, like the single-clip path and the GAN twin (the
+    serving throughput tool passes the raw 513x1723 part-1 spectrogram)."""
+    rng = np.random.RandomState(3)
+    mag = rng.rand(1, 13, 37, 1).astype(np.float32)
+    mask = np.ones_like(mag)
+    mask[:, :, 10:14, :] = 0.0
+    cfg = UNetTrainConfig(epochs=4, scan_chunk=4)
+    out, losses = restore_clips_unet(mag, mask, cfg, key=0)
+    out = np.asarray(out)
+    assert out.shape == mag.shape
+    assert np.isfinite(out).all()
+    # kept cells are the input exactly (composite), at the ORIGINAL extent
+    keep = mask[0, :, :, 0] == 1
+    np.testing.assert_allclose(out[0, :, :, 0][keep], mag[0, :, :, 0][keep],
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(losses)).all()

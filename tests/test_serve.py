@@ -133,3 +133,43 @@ def test_serve_devices_validation(tmp_path):
     res = run_serve(str(din), str(tmp_path / "out_many"), method="linear",
                     devices=10_000)
     assert res["clips"] == len(names)
+
+
+def test_synthetic_train_masks_short_clips_always_trainable():
+    """Every clip must get >= 1 trainable cell (intact AND synthetically
+    hidden): the reference stripe-count formula gives 0 stripes under ~50
+    frames, which would leave the loss identically zero and composite an
+    UNTRAINED net into the real holes."""
+    import numpy as np
+
+    from audio_inpainting_tpu.pipelines.serve import _synthetic_train_masks
+
+    # clips tuples: only c[2].shape[1] (true frame count) is consulted
+    t_pad = 64
+    frame_counts = [2, 5, 17, 40, 64]       # all below the ~50-frame cliff
+    clips = [(None, None, np.zeros((9, t)), None, None)
+             for t in frame_counts]
+    masks = np.ones((len(clips), 9, t_pad), np.float32)
+    masks[3, :, :20] = 0.0                   # clip 3: leading real damage
+    syn = _synthetic_train_masks(0, clips, masks)
+    assert syn.shape == masks.shape
+    for i, t in enumerate(frame_counts):
+        trainable = (syn[i, :, :t] == 0) & (masks[i, :, :t] == 1)
+        assert trainable.any(), f"clip {i} (t={t}) has no trainable cell"
+        # stripes never spill into the batch padding
+        assert (syn[i, :, t:] == 1).all()
+
+
+def test_random_frame_mask_min_segments():
+    import jax
+    import numpy as np
+
+    from audio_inpainting_tpu.corrupt import random_frame_mask
+
+    # reference semantics unchanged: 40 frames -> int(40*0.3/30*2) = 0 stripes
+    m0 = np.asarray(random_frame_mask(jax.random.PRNGKey(0), 4, 40))
+    assert (m0 == 1).all()
+    # with the floor: at least one stripe
+    m1 = np.asarray(random_frame_mask(jax.random.PRNGKey(0), 4, 40,
+                                      min_segments=1))
+    assert (m1 == 0).any()

@@ -40,7 +40,9 @@ run serve_tp_gan     3600 env SERVE_METHOD=gan python tools/serve_throughput.py 
 # 5. MFU/roofline table refresh (updates docs/mfu_v5e.json)
 run mfu              2400 python tools/mfu.py
 
-# 6. Official bench (writes its own one-line JSON)
-run bench            5400 python bench.py
+# 6. Official bench (writes its own one-line JSON). Outer budget exceeds
+# bench's internal 5400s watchdog so a tunnel stall emits the diagnostic
+# JSON line instead of being SIGTERMed silently by this timeout.
+run bench            6000 python bench.py
 
 echo "battery done; results in $OUT"
