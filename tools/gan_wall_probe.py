@@ -83,8 +83,10 @@ def main() -> int:
         t["train_chunks"] = time.time() - t0
 
         t0 = time.time()
+        # avg_tail 0/1 = the production default: ONE final eval-mode
+        # inference (gan_train_restore's reference-exact path).
         snaps = [_jit_apply_eval(g_model, state[0], state[1], inp)
-                 for _ in range(cfg.avg_tail)]
+                 for _ in range(max(1, cfg.avg_tail))]
         fake = sum(snaps[1:], snaps[0]) / float(len(snaps))
         final = inp * msk + fake * (1.0 - msk)
         out = np.asarray(final[0, :f0, :t0sh, 0])
