@@ -73,6 +73,18 @@ class GANTrainConfig:
     # averaging a GAN's nonconvex trajectory + stale BN stats; see
     # docs/DESIGN.md negative results.)
     avg_tail: int = 0
+    # Keep the eval-mode G snapshot with the LOWEST hole-L1 vs the real
+    # spectrogram among the last `best_tail` scan-chunk boundaries
+    # (including the final one). Early stopping on training fit: the real
+    # spectrogram is a training input of this method (the reference trains
+    # against the original clip, main_gan_gap.py:103-108,125), so the
+    # selection metric reads no held-out data. The late-training fill
+    # fluctuates around its mode; AVERAGING those snapshots (avg_tail) was
+    # measured and rejected — the mean blurs the fill (5-seed A/B: global
+    # SNR fell up to 5 dB, hole-L1 rose ~2x) — but the per-snapshot argmin
+    # clips the bad draws without blurring. 0/1 = reference-exact single
+    # final inference. Mutually exclusive with avg_tail.
+    best_tail: int = 0
     # Retrain once with a folded key if the hole-L1 of the composite vs the
     # real spectrogram (a training input, main_gan_gap.py:125) exceeds this —
     # the measured signature of mode collapse (healthy draws <= 0.031,
@@ -123,6 +135,15 @@ def _jit_apply(model, params, inp):
 def _jit_apply_eval(model, params, batch_stats, inp):
     return model.apply({"params": params, "batch_stats": batch_stats},
                        inp, False)
+
+
+@jax.jit
+def _snap_hole_l1(fake, real, msk, vld):
+    """Mean |fake - real| over the hole (norm units) — the GAN tail-snapshot
+    selection / mode-collapse metric. Inside the hole the composite equals
+    the raw G output, so no compositing is needed here."""
+    hole = (1.0 - msk) * vld
+    return jnp.sum(jnp.abs((fake - real) * hole)) / jnp.sum(hole)
 
 
 @jax.jit
@@ -361,6 +382,9 @@ def gan_train_restore(input_norm, real_norm, mask,
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
+    if cfg.avg_tail > 1 and cfg.best_tail > 1:
+        raise ValueError("GANTrainConfig.avg_tail and best_tail are mutually "
+                         "exclusive tail policies — set at most one")
     # pad with -1.0: in the GAN's min-max [-1, 1] space silence IS -1, and a
     # 0.0 pad reads as a bright band that pollutes the generator's top
     # frequency rows (measured: rel mag error ~1.0 in rows 507-512, the
@@ -394,14 +418,21 @@ def gan_train_restore(input_norm, real_norm, mask,
             g_hist.append(gl)
             done += n
             chunks_left -= 1
-            if 0 < chunks_left < cfg.avg_tail:
+            in_tail = 0 < chunks_left < max(cfg.avg_tail, cfg.best_tail)
+            if in_tail:
                 # eval-mode snapshot at this chunk boundary (the final
                 # boundary's output is added below, outside the loop)
                 snaps.append(eval_fake(state[0], state[1]))
         # final inference in eval mode (running stats), reference :150-153
         snaps.append(eval_fake(state[0], state[1]))
-        fake = snaps[0] if len(snaps) == 1 else (
-            sum(snaps[1:], snaps[0]) / float(len(snaps)))
+        if cfg.best_tail > 1 and len(snaps) > 1:
+            # argmin-by-training-fit selection (see best_tail docstring);
+            # one scalar fetch per snapshot, snapshots stay on device
+            l1s = [float(_snap_hole_l1(s, real, msk, vld)) for s in snaps]
+            fake = snaps[min(range(len(l1s)), key=l1s.__getitem__)]
+        else:
+            fake = snaps[0] if len(snaps) == 1 else (
+                sum(snaps[1:], snaps[0]) / float(len(snaps)))
         final = inp * msk + fake * (1.0 - msk)
         return final, (jnp.concatenate(d_hist), jnp.concatenate(g_hist))
 

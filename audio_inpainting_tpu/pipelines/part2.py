@@ -90,7 +90,11 @@ def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     results["detected_gap"] = gap
     ar = np.asarray(ar_restore_gap(
         jnp.asarray(damaged), gap,
-        ARConfig(order=100, alpha=0.5, texture=True, context_len=5000),
+        # chunk=128: companion-matrix engine (33.5 ms vs 53.2 ms Pallas on
+        # the 88.2k-step gap); 5-seed real-clip quality identical to the
+        # per-sample engines (tools/ar_part2_quality_ab.py, round 3)
+        ARConfig(order=100, alpha=0.5, texture=True, context_len=5000,
+                 chunk=128),
         key=jax.random.PRNGKey(seed)))
     ar = np.clip(ar, -1.0, 1.0)
     _metrics("ar", data, ar, gs, ge, t0, results)

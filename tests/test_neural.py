@@ -106,6 +106,38 @@ def test_gan_avg_tail_composites_snapshot_mean():
     assert not np.allclose(out_avg[:, 40:56], out_one[:, 40:56])
 
 
+def test_gan_best_tail_selects_min_hole_l1_snapshot():
+    """best_tail=K keeps the tail snapshot with the lowest hole-L1 vs the
+    real spectrogram: the selected fill's hole-L1 must be <= the final
+    (reference-exact) snapshot's, and the kept region stays the input."""
+    from audio_inpainting_tpu.methods.neural import _snap_hole_l1
+
+    v = _toy_spec(seed=5) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)
+    out_best, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10, best_tail=4),
+        key=0)
+    out_one, _ = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10), key=0)
+    out_best, out_one = np.asarray(out_best), np.asarray(out_one)
+    np.testing.assert_allclose(out_best[:, :40], inp[:, :40], atol=1e-6)
+    hole = (1 - mask)
+    l1_best = np.abs((out_best - v) * hole).sum() / hole.sum()
+    l1_one = np.abs((out_one - v) * hole).sum() / hole.sum()
+    assert l1_best <= l1_one + 1e-6, (l1_best, l1_one)
+
+
+def test_gan_avg_best_tail_mutually_exclusive():
+    v = _toy_spec(seed=6) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    with np.testing.assert_raises(ValueError):
+        gan_train_restore(v, v, mask,
+                          GANTrainConfig(epochs=20, scan_chunk=10,
+                                         avg_tail=2, best_tail=2), key=0)
+
+
 def test_gan_retry_l1_retrains_on_bad_draw():
     """retry_l1 below any reachable hole-L1 forces the one-retry path; the
     retrained (folded-key) result differs from the first draw and is still a

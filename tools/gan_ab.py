@@ -94,6 +94,17 @@ VARIANTS = {
     "bf16-ud": GANTrainConfig(bf16=True, packed_d=False),
     "bf16-avg4": GANTrainConfig(bf16=True, scan_chunk=250, avg_tail=4),
     "bf16-avg6": GANTrainConfig(bf16=True, scan_chunk=100, avg_tail=6),
+    # tighter tail: snapshots at epochs 1350/1400/1450/1500 only
+    "bf16-avg4-c50": GANTrainConfig(bf16=True, scan_chunk=50, avg_tail=4),
+    # retrain-on-collapse (hole-L1 signature >= 0.04) and combined
+    "bf16-retry": GANTrainConfig(bf16=True, retry_l1=0.04),
+    "bf16-avg4-retry": GANTrainConfig(bf16=True, scan_chunk=250, avg_tail=4,
+                                      retry_l1=0.04),
+    # argmin-by-hole-L1 tail selection (no blurring, unlike avg_tail)
+    "bf16-best4-c100": GANTrainConfig(bf16=True, best_tail=4),
+    "bf16-best8-c50": GANTrainConfig(bf16=True, scan_chunk=50, best_tail=8),
+    "bf16-best8-retry": GANTrainConfig(bf16=True, scan_chunk=50, best_tail=8,
+                                       retry_l1=0.04),
     "bf16-c500": GANTrainConfig(bf16=True, scan_chunk=500),
     "bf16-avg3-c500": GANTrainConfig(bf16=True, scan_chunk=500, avg_tail=3),
     "f32": GANTrainConfig(bf16=False),

@@ -55,16 +55,19 @@ def main() -> int:
         return s, float(dl[-1])
 
     state, _ = run(state)  # compile + warm
+    # effective conv dispatch: env override, else the band-form default
+    # (ops/packedconv._DENSE_DEFAULT is empty — unset env means ALL band)
+    dense = os.environ.get("AIT_PACKED_DENSE", "band-default")
     tdir = os.path.join(
         TRACE_DIR,
-        f"gan_epoch_{os.environ.get('AIT_PACKED_DENSE', '1')}_"
+        f"gan_epoch_{dense}_"
         f"{'pd' if packed_d else 'ud'}_{'fl' if flat else 'pl'}")
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         state, _ = run(state)
     ms = device_ms_from_trace(tdir)
     print(json.dumps({
-        "dense": os.environ.get("AIT_PACKED_DENSE", "1"),
+        "dense": dense,
         "packed_d": packed_d, "flat_opt": flat, "epochs": n,
         "ms_per_epoch": round(ms / n, 3),
         "wall_1500_est_s": round(ms / n * 1500 / 1e3, 1)}))

@@ -19,12 +19,12 @@ run() {  # run <name> <timeout_s> <cmd...>
 run gan_epoch_flat   1200 python tools/gan_epoch_time.py packed 100 flat
 run gan_epoch_plain  1200 python tools/gan_epoch_time.py packed 100 plain
 
-# 1b. Op-count lever A/Bs on the GAN epoch: single-gather band-kernel
-# build (bitwise-equal values, tests/test_packed.py) and the latency-
-# hiding scheduler flag. Flip defaults only if these WIN.
+# 1b. Op-count lever A/B on the GAN epoch: single-gather band-kernel
+# build (bitwise-equal values, tests/test_packed.py). Flip the default
+# only if it WINS. (A latency-hiding-scheduler XLA-flag A/B was planned
+# here but this jaxlib's XLA rejects the flag as unknown —
+# parse_flags_from_env aborts — so it is not measurable on this stack.)
 run gan_epoch_gather 1200 env AIT_BAND_GATHER=1 \
-    python tools/gan_epoch_time.py packed 100 flat
-run gan_epoch_lhs    1200 env XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=true \
     python tools/gan_epoch_time.py packed 100 flat
 
 # 2. GAN wall attribution, production 1500 epochs (compile + steady runs)
@@ -37,8 +37,8 @@ run ar_engines       1200 python tools/ar_chunk_time.py
 run serve_tp         3600 python tools/serve_throughput.py 400 1 4 8
 run serve_tp_gan     3600 env SERVE_METHOD=gan python tools/serve_throughput.py 1500 1 2
 
-# 5. MFU/roofline table refresh (updates docs/mfu_v5e.json)
-run mfu              2400 python tools/mfu.py
+# 5. MFU/roofline table refresh (rows also land in docs/mfu_v5e.json)
+run mfu              2400 python tools/mfu.py --out docs/mfu_v5e.json
 
 # 6. Official bench (writes its own one-line JSON). Outer budget exceeds
 # bench's internal 5400s watchdog so a tunnel stall emits the diagnostic
