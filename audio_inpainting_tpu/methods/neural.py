@@ -64,32 +64,37 @@ class GANTrainConfig:
     # packed — the round-2 "packed D slower" note predates the packed
     # ConvTranspose landing and is obsolete.
     packed_d: bool = True
-    # Average the eval-mode G output over the last `avg_tail` scan-chunk
-    # boundaries (0/1 = reference-exact single final inference,
-    # main_gan_gap.py:150). Output-space self-ensembling: the per-epoch fill
-    # fluctuates around the mode late in training, and averaging K snapshots
-    # cancels that noise. (Weight-space EMA was measured instead first and
-    # is catastrophic here — hole-L1 went 0.02 -> 0.14-1.9 across 5 seeds —
-    # averaging a GAN's nonconvex trajectory + stale BN stats; see
-    # docs/DESIGN.md negative results.)
-    avg_tail: int = 0
-    # Keep the eval-mode G snapshot with the LOWEST hole-L1 vs the real
-    # spectrogram among the last `best_tail` scan-chunk boundaries
-    # (including the final one). Early stopping on training fit: the real
-    # spectrogram is a training input of this method (the reference trains
-    # against the original clip, main_gan_gap.py:103-108,125), so the
-    # selection metric reads no held-out data. The late-training fill
-    # fluctuates around its mode; AVERAGING those snapshots (avg_tail) was
-    # measured and rejected — the mean blurs the fill (5-seed A/B: global
-    # SNR fell up to 5 dB, hole-L1 rose ~2x) — but the per-snapshot argmin
-    # clips the bad draws without blurring. 0/1 = reference-exact single
-    # final inference. Mutually exclusive with avg_tail.
-    best_tail: int = 0
+    # (Two other readout policies were measured and removed — see
+    # docs/DESIGN.md "GAN readout policy": avg_tail output-averaging over
+    # late chunk-boundary snapshots blurs the fill (global SNR fell up to
+    # 5 dB), and best_tail argmin-hole-L1 snapshot selection is the
+    # identity — its selection metric IS the training objective, which
+    # decreases monotonically, so the final snapshot always wins.)
     # Retrain once with a folded key if the hole-L1 of the composite vs the
     # real spectrogram (a training input, main_gan_gap.py:125) exceeds this —
     # the measured signature of mode collapse (healthy draws <= 0.031,
     # collapsed >= 0.040 in norm units across every 5-seed sweep). 0 = off.
     retry_l1: float = 0.0
+    # Weight-space EMA of the GENERATOR params: ema <- d*ema + (1-d)*params
+    # after every G update, zero-initialized with Adam-style bias correction
+    # (ema / (1 - d^T)) at readout — seeding the EMA from the random init
+    # instead leaves d^T of init noise in the weights (0.22 at d=0.999,
+    # T=1500), which is the bug signature of the first, rejected EMA
+    # measurement (hole-L1 0.14-1.9). The training trajectory itself is
+    # untouched (reference-exact update sequence); only the final inference
+    # reads the averaged weights, with the final running BN stats.
+    # 0 = off (reference-exact single final inference).
+    ema_decay: float = 0.0
+    # Where the EMA readout replaces the single-inference fill:
+    #   "full" — everywhere (one eval forward with EMA weights);
+    #   "gap"  — only in fully-dark columns (per-column keep fraction < 2%),
+    #            i.e. the contiguous hole, where no within-column context
+    #            exists and fill variance dominates: measured, EMA improves
+    #            gap-local SNR on EVERY healthy seed, while on the scattered
+    #            dark pixels elsewhere (92% of the mask but with live
+    #            neighbors) the sharper single-inference fill preserves
+    #            global SNR/LSD. Costs one extra eval forward (~1 epoch).
+    ema_scope: str = "full"
     # Flat-vector Adam (see UNetTrainConfig.flat_opt).
     flat_opt: bool = True
 
@@ -135,15 +140,6 @@ def _jit_apply(model, params, inp):
 def _jit_apply_eval(model, params, batch_stats, inp):
     return model.apply({"params": params, "batch_stats": batch_stats},
                        inp, False)
-
-
-@jax.jit
-def _snap_hole_l1(fake, real, msk, vld):
-    """Mean |fake - real| over the hole (norm units) — the GAN tail-snapshot
-    selection / mode-collapse metric. Inside the hole the composite equals
-    the raw G output, so no compositing is needed here."""
-    hole = (1.0 - msk) * vld
-    return jnp.sum(jnp.abs((fake - real) * hole)) / jnp.sum(hole)
 
 
 @jax.jit
@@ -274,13 +270,15 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
     rec_denom = jnp.sum(valid)
 
     flat = cfg.flat_opt
+    ema = cfg.ema_decay > 0.0
     if flat:
-        gp0, gbs0, gst0, dp0, dbs0, dst0 = train_state
+        gp0, gbs0, gst0, dp0, dbs0, dst0 = train_state[:6]
         g_spec, d_spec = flatopt.make_spec(gp0), flatopt.make_spec(dp0)
         train_state = (flatopt.to_flat(gp0), gbs0,
                        flatopt.optax_to_flat(gst0, g_spec),
                        flatopt.to_flat(dp0), dbs0,
-                       flatopt.optax_to_flat(dst0, d_spec))
+                       flatopt.optax_to_flat(dst0, d_spec)) + (
+            (flatopt.to_flat(train_state[6]),) if ema else ())
 
     def opt_update(grad, st, p_carry):
         """One Adam step; flat (fused) or optax per-leaf, same math."""
@@ -298,7 +296,7 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
                         + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
     def epoch(carry, _):
-        gpc, gbs, gst, dpc, dbs, dst = carry
+        gpc, gbs, gst, dpc, dbs, dst = carry[:6]
         gp = flatopt.from_flat(gpc, g_spec) if flat else gpc
         dp = flatopt.from_flat(dpc, d_spec) if flat else dpc
 
@@ -351,15 +349,24 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
             jnp.zeros_like, gbs_new)))
         gpc, gst = opt_update(g_grad, gst, gpc)
 
-        return (gpc, gbs_new, gst, dpc, dbs_new, dst), (d_loss, g_loss)
+        out = (gpc, gbs_new, gst, dpc, dbs_new, dst)
+        if ema:
+            d_ = cfg.ema_decay
+            if flat:
+                out += (carry[6] * d_ + gpc * (1.0 - d_),)
+            else:
+                out += (jax.tree_util.tree_map(
+                    lambda e, p: e * d_ + p * (1.0 - d_), carry[6], gpc),)
+        return out, (d_loss, g_loss)
 
     carry, losses = jax.lax.scan(epoch, train_state, None, length=n_epochs)
     if flat:
-        gpc, gbs, gst, dpc, dbs, dst = carry
+        gpc, gbs, gst, dpc, dbs, dst = carry[:6]
         carry = (flatopt.from_flat(gpc, g_spec), gbs,
                  flatopt.flat_to_optax(gst, g_spec, gst0),
                  flatopt.from_flat(dpc, d_spec), dbs,
-                 flatopt.flat_to_optax(dst, d_spec, dst0))
+                 flatopt.flat_to_optax(dst, d_spec, dst0)) + (
+            (flatopt.from_flat(carry[6], g_spec),) if ema else ())
     return carry, losses
 
 
@@ -382,9 +389,6 @@ def gan_train_restore(input_norm, real_norm, mask,
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
-    if cfg.avg_tail > 1 and cfg.best_tail > 1:
-        raise ValueError("GANTrainConfig.avg_tail and best_tail are mutually "
-                         "exclusive tail policies — set at most one")
     # pad with -1.0: in the GAN's min-max [-1, 1] space silence IS -1, and a
     # 0.0 pad reads as a bright band that pollutes the generator's top
     # frequency rows (measured: rel mag error ~1.0 in rows 507-512, the
@@ -408,8 +412,13 @@ def gan_train_restore(input_norm, real_norm, mask,
         state = (g_vars["params"], g_vars["batch_stats"],
                  _jit_adam_init(g_vars["params"]), d_vars["params"],
                  d_vars["batch_stats"], _jit_adam_init(d_vars["params"]))
-        d_hist, g_hist, snaps = [], [], []
-        done, chunks_left = 0, -(-cfg.epochs // cfg.scan_chunk)
+        if cfg.ema_decay > 0.0:
+            # zero-init: the bias correction at readout removes the init
+            # term exactly (see ema_decay docstring for why not params-init)
+            state += (jax.tree_util.tree_map(jnp.zeros_like,
+                                             g_vars["params"]),)
+        d_hist, g_hist = [], []
+        done = 0
         while done < cfg.epochs:
             n = min(cfg.scan_chunk, cfg.epochs - done)
             state, (dl, gl) = _gan_train_chunk(state, inp, real, msk, vld,
@@ -417,22 +426,19 @@ def gan_train_restore(input_norm, real_norm, mask,
             d_hist.append(dl)
             g_hist.append(gl)
             done += n
-            chunks_left -= 1
-            in_tail = 0 < chunks_left < max(cfg.avg_tail, cfg.best_tail)
-            if in_tail:
-                # eval-mode snapshot at this chunk boundary (the final
-                # boundary's output is added below, outside the loop)
-                snaps.append(eval_fake(state[0], state[1]))
         # final inference in eval mode (running stats), reference :150-153
-        snaps.append(eval_fake(state[0], state[1]))
-        if cfg.best_tail > 1 and len(snaps) > 1:
-            # argmin-by-training-fit selection (see best_tail docstring);
-            # one scalar fetch per snapshot, snapshots stay on device
-            l1s = [float(_snap_hole_l1(s, real, msk, vld)) for s in snaps]
-            fake = snaps[min(range(len(l1s)), key=l1s.__getitem__)]
+        if cfg.ema_decay > 0.0:
+            corr = 1.0 - cfg.ema_decay ** cfg.epochs
+            ema_p = jax.tree_util.tree_map(lambda e: e / corr, state[6])
+            fake = eval_fake(ema_p, state[1])
+            if cfg.ema_scope == "gap":
+                fake_one = eval_fake(state[0], state[1])
+                hole_col = jnp.sum((1.0 - msk) * vld, axis=1, keepdims=True)
+                vld_col = jnp.sum(vld, axis=1, keepdims=True)
+                gap_col = (hole_col > 0.98 * jnp.maximum(vld_col, 1.0))
+                fake = jnp.where(gap_col, fake, fake_one)
         else:
-            fake = snaps[0] if len(snaps) == 1 else (
-                sum(snaps[1:], snaps[0]) / float(len(snaps)))
+            fake = eval_fake(state[0], state[1])
         final = inp * msk + fake * (1.0 - msk)
         return final, (jnp.concatenate(d_hist), jnp.concatenate(g_hist))
 

@@ -10,8 +10,11 @@ scan is the SAME program as the single-clip path: each mapped element calls
 methods.neural._gan_scan_core (one G forward per epoch, D-then-G update
 order, logits BCE, flat-vector Adam) with that clip's state.
 
-Default GANTrainConfig semantics apply (avg_tail=0: one eval-mode forward
-at the end, reference main_gan_gap.py:150-153).
+The full GANTrainConfig readout contract applies per clip: ema_decay=0 is
+one eval-mode forward at the end (reference main_gan_gap.py:150-153);
+ema_decay>0 reads out bias-corrected EMA weights (optionally gap-column
+scoped), and retry_l1>0 retrains the clips whose hole-L1 shows the
+mode-collapse signature in one second batched pass with folded keys.
 """
 
 from __future__ import annotations
@@ -50,8 +53,11 @@ def _local_init(keys, inp, cfg: GANTrainConfig):
         kg, kd = jax.random.split(k)
         g = g_model.init(kg, x[None, :, :, None], True)
         d = d_model.init(kd, x[None, :, :, None], True)
-        return (g["params"], g["batch_stats"], tx.init(g["params"]),
-                d["params"], d["batch_stats"], tx.init(d["params"]))
+        st = (g["params"], g["batch_stats"], tx.init(g["params"]),
+              d["params"], d["batch_stats"], tx.init(d["params"]))
+        if cfg.ema_decay > 0.0:
+            st += (jax.tree_util.tree_map(jnp.zeros_like, g["params"]),)
+        return st
 
     return jax.lax.map(one, (keys, inp))
 
@@ -68,17 +74,34 @@ def _local_chunk(state, inp, real, msk, vld, cfg: GANTrainConfig,
     return jax.lax.map(one, (state, inp, real, msk, vld))
 
 
-def _local_composite(state, inp, msk, cfg: GANTrainConfig):
+def _local_composite(state, inp, msk, vld, cfg: GANTrainConfig):
     g_model = PackedGeneratorUNet(dtype=_dtype(cfg))
 
     def one(args):
-        st, x, m = args
-        fake = g_model.apply({"params": st[0], "batch_stats": st[1]},
-                             x[None, :, :, None], False)
+        st, x, m, v = args
+        # readout mirrors methods.neural.gan_train_restore exactly: EMA
+        # weights (bias-corrected, optionally gap-column-scoped) or the
+        # reference-exact single inference
+        if cfg.ema_decay > 0.0:
+            corr = 1.0 - cfg.ema_decay ** cfg.epochs
+            ema_p = jax.tree_util.tree_map(lambda e: e / corr, st[6])
+            fake = g_model.apply({"params": ema_p, "batch_stats": st[1]},
+                                 x[None, :, :, None], False)
+            if cfg.ema_scope == "gap":
+                fake_one = g_model.apply(
+                    {"params": st[0], "batch_stats": st[1]},
+                    x[None, :, :, None], False)
+                hole_col = jnp.sum((1.0 - m) * v, axis=0, keepdims=True)
+                vld_col = jnp.sum(v, axis=0, keepdims=True)
+                gap_col = hole_col > 0.98 * jnp.maximum(vld_col, 1.0)
+                fake = jnp.where(gap_col[None, :, :, None], fake, fake_one)
+        else:
+            fake = g_model.apply({"params": st[0], "batch_stats": st[1]},
+                                 x[None, :, :, None], False)
         return (x[None, :, :, None] * m[None, :, :, None]
                 + fake * (1.0 - m[None, :, :, None]))[0, :, :, 0]
 
-    return jax.lax.map(one, (state, inp, msk))
+    return jax.lax.map(one, (state, inp, msk, vld))
 
 
 # jit caches key on function identity, so the jitted stage functions are
@@ -106,7 +129,7 @@ def _chunk_fn(mesh: Mesh, cfg: GANTrainConfig, n_epochs: int):
 def _comp_fn(mesh: Mesh, cfg: GANTrainConfig):
     return jax.jit(jax.shard_map(functools.partial(_local_composite,
                                                    cfg=cfg),
-                                 mesh=mesh, in_specs=(P("dp"),) * 3,
+                                 mesh=mesh, in_specs=(P("dp"),) * 4,
                                  out_specs=P("dp")))
 
 
@@ -142,13 +165,36 @@ def restore_clips_gan(norm_batch, real_batch, mask_batch,
         vld = vld * _pad_batched(jnp.asarray(valid_batch, jnp.float32), 0.0)
     keys = jax.random.split(key, g)
 
-    state = _init_fn(mesh, cfg)(keys, inp)
-    dl = gl = None
-    done = 0
-    while done < cfg.epochs:
-        n = min(cfg.scan_chunk, cfg.epochs - done)
-        state, dl, gl = _chunk_fn(mesh, cfg, n)(state, inp, realp, mskp, vld)
-        done += n
+    def run(inp_, realp_, mskp_, vld_, keys_):
+        state = _init_fn(mesh, cfg)(keys_, inp_)
+        dl = gl = None
+        done = 0
+        while done < cfg.epochs:
+            n = min(cfg.scan_chunk, cfg.epochs - done)
+            state, dl, gl = _chunk_fn(mesh, cfg, n)(state, inp_, realp_,
+                                                    mskp_, vld_)
+            done += n
+        return _comp_fn(mesh, cfg)(state, inp_, mskp_, vld_), dl, gl
 
-    out = _comp_fn(mesh, cfg)(state, inp, mskp)
+    out, dl, gl = run(inp, realp, mskp, vld, keys)
+    if cfg.retry_l1 > 0.0:
+        # per-clip mode-collapse retry, same signature and folded-key policy
+        # as the single-clip path (methods.neural.gan_train_restore); the
+        # failed subset retrains in ONE second batched pass, padded by
+        # repeating its first clip up to a mesh-divisible count
+        import numpy as np
+
+        hole = (1.0 - mskp) * vld
+        l1 = np.asarray(jnp.sum(jnp.abs(out - realp) * hole, axis=(1, 2))
+                        / jnp.maximum(jnp.sum(hole, axis=(1, 2)), 1e-9))
+        bad = np.flatnonzero(l1 > cfg.retry_l1)
+        if bad.size:
+            sel = np.concatenate(
+                [bad, np.repeat(bad[:1], (-bad.size) % mesh.devices.size)])
+            keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys[sel])
+            out2, dl2, gl2 = run(inp[sel], realp[sel], mskp[sel], vld[sel],
+                                 keys2)
+            out = out.at[bad].set(out2[:bad.size])
+            dl = dl.at[bad].set(dl2[:bad.size])
+            gl = gl.at[bad].set(gl2[:bad.size])
     return out[:, :f, :t], (dl, gl)

@@ -122,7 +122,15 @@ def run_part2(input_file: str, assets_dir: str = "demo_assets", seed: int = 0,
     z_real = stft(jnp.asarray(data), _CFG)
     real_norm = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
     final_norm, _hist = gan_train_restore(
-        norm, real_norm, keep, GANTrainConfig(epochs=gan_epochs, bf16=True), key=seed)
+        norm, real_norm, keep,
+        # production readout: gap-scoped weight EMA (local SNR improves on
+        # every healthy seed with global/LSD held) + one retrain on the
+        # hole-L1 mode-collapse signature; ema_decay=0 restores the
+        # reference-exact readout — measurements in docs/DESIGN.md
+        # "GAN readout policy" (5-seed A/Bs, tools/gan_ab.py)
+        GANTrainConfig(epochs=gan_epochs, bf16=True, ema_decay=0.99,
+                       ema_scope="gap", retry_l1=0.04),
+        key=seed)
     final_mag = (jnp.asarray(final_norm) + 1.0) / 2.0 * (mag_max - mag_min) + mag_min
     gan = np.asarray(istft(polar(final_mag, phase_d), _CFG, n))
     _metrics("gan", data, gan, gs, ge, t0, results)

@@ -211,8 +211,12 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         # each clip's true (f, t_i) extent: pad cells must not enter the L1
         # reconstruction term (single-clip _valid4 semantics)
         valid = _true_extent_mask(norm.shape, f, clips)
+        # same readout policy as the benched part-2 pipeline (gap-scoped
+        # weight EMA + collapse retry) so serving never drifts from it
         cfg = GANTrainConfig(epochs=epochs, bf16=True,
-                             scan_chunk=min(100, epochs))
+                             scan_chunk=min(100, epochs),
+                             ema_decay=0.99, ema_scope="gap",
+                             retry_l1=0.04)
         out, _ = restore_clips_gan(_batch_pad(norm), _batch_pad(rnorm),
                                    _batch_pad(masks), cfg, mesh=mesh,
                                    key=seed, valid_batch=_batch_pad(valid))

@@ -121,6 +121,56 @@ def test_gan_batch_single_clip_matches_gan_train_restore():
                                atol=1e-6)
 
 
+def test_gan_batch_single_clip_matches_production_readout():
+    """The equivalence guarantee extends to the PRODUCTION readout policy
+    (gap-scoped EMA): batched == single-clip under the same config."""
+    import jax
+    from audio_inpainting_tpu.methods.neural import (GANTrainConfig,
+                                                     gan_train_restore)
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(13)
+    F, T = 8, 32
+    real = (rng.rand(F, T).astype(np.float32)) * 2 - 1
+    mask = np.ones_like(real)
+    mask[:, 10:18] = 0.0
+    norm = real * mask + (-1.0) * (1 - mask)
+    cfg = GANTrainConfig(epochs=4, scan_chunk=4, ema_decay=0.99,
+                         ema_scope="gap")
+
+    key = jax.random.PRNGKey(21)
+    out_b, _ = restore_clips_gan(norm[None], real[None], mask[None],
+                                 cfg, key=key)
+    clip_key = jax.random.split(key, 1)[0]
+    out_s, _ = gan_train_restore(norm, real, mask, cfg, key=clip_key)
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_s),
+                               atol=1e-6)
+
+
+def test_gan_batch_retry_retrains_bad_clips():
+    """retry_l1 below any reachable hole-L1 forces the batched one-retry
+    pass: outputs and losses change for the retried clips, kept cells stay
+    the input."""
+    from audio_inpainting_tpu.methods.neural import GANTrainConfig
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(17)
+    G, F, T = 2, 8, 32
+    real = (rng.rand(G, F, T).astype(np.float32)) * 2 - 1
+    masks = np.ones_like(real)
+    masks[:, :, 12:20] = 0.0
+    norm = real * masks + (-1.0) * (1 - masks)
+    base = GANTrainConfig(epochs=3, scan_chunk=3)
+    out0, (dl0, gl0) = restore_clips_gan(norm, real, masks, base, key=5)
+    out1, (dl1, gl1) = restore_clips_gan(
+        norm, real, masks,
+        GANTrainConfig(epochs=3, scan_chunk=3, retry_l1=1e-6), key=5)
+    out0, out1 = np.asarray(out0), np.asarray(out1)
+    assert not np.allclose(out0, out1)   # folded-key retrain took effect
+    np.testing.assert_allclose(out1[:, :, :12], norm[:, :, :12], atol=1e-6)
+    assert np.isfinite(np.asarray(dl1)).all()
+
+
 def test_unet_batch_single_clip_matches_unet_train_restore():
     """restore_clips_unet with one conforming clip reproduces the benched
     single-clip unet_train_restore (same packed trainer core, same keys)."""

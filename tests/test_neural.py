@@ -88,54 +88,50 @@ def test_gan_trains_and_composites():
     assert err < 0.7 * base, (err, base)
 
 
-def test_gan_avg_tail_composites_snapshot_mean():
-    """avg_tail=K averages the eval-mode output over the last K chunk
-    boundaries; kept region stays exactly the input either way, and the fill
-    differs from the single-snapshot (reference-exact) run."""
-    v = _toy_spec(seed=3) * 2.0 - 1.0
+def test_gan_ema_readout():
+    """ema_decay reads out bias-corrected averaged G weights: the output
+    differs from single inference, the kept region stays the input, and a
+    tiny decay (EMA window ~1 epoch) reproduces single inference — which
+    also pins the bias correction (an init-seeded EMA would fail it)."""
+    v = _toy_spec(seed=7) * 2.0 - 1.0
     mask = np.ones_like(v)
     mask[:, 40:56] = 0.0
     inp = v * mask + (-1.0) * (1 - mask)
-    out_avg, _ = gan_train_restore(
-        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10, avg_tail=3),
-        key=0)
     out_one, _ = gan_train_restore(
-        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10), key=0)
-    out_avg, out_one = np.asarray(out_avg), np.asarray(out_one)
-    np.testing.assert_allclose(out_avg[:, :40], inp[:, :40], atol=1e-6)
-    assert not np.allclose(out_avg[:, 40:56], out_one[:, 40:56])
+        inp, v, mask, GANTrainConfig(epochs=30, scan_chunk=10), key=0)
+    out_ema, _ = gan_train_restore(
+        inp, v, mask,
+        GANTrainConfig(epochs=30, scan_chunk=10, ema_decay=0.9), key=0)
+    out_tiny, _ = gan_train_restore(
+        inp, v, mask,
+        GANTrainConfig(epochs=30, scan_chunk=10, ema_decay=1e-6), key=0)
+    out_one, out_ema, out_tiny = map(np.asarray, (out_one, out_ema, out_tiny))
+    np.testing.assert_allclose(out_ema[:, :40], inp[:, :40], atol=1e-6)
+    assert not np.allclose(out_ema, out_one)
+    np.testing.assert_allclose(out_tiny, out_one, atol=1e-4)
 
 
-def test_gan_best_tail_selects_min_hole_l1_snapshot():
-    """best_tail=K keeps the tail snapshot with the lowest hole-L1 vs the
-    real spectrogram: the selected fill's hole-L1 must be <= the final
-    (reference-exact) snapshot's, and the kept region stays the input."""
-    from audio_inpainting_tpu.methods.neural import _snap_hole_l1
-
-    v = _toy_spec(seed=5) * 2.0 - 1.0
+def test_gan_ema_gap_scope_splits_fill_by_column():
+    """ema_scope='gap': fully-dark columns take the EMA fill, partially-dark
+    columns keep the single-inference fill, kept pixels stay the input."""
+    v = _toy_spec(seed=8) * 2.0 - 1.0
     mask = np.ones_like(v)
-    mask[:, 40:56] = 0.0
+    mask[:, 40:56] = 0.0      # contiguous all-dark gap
+    mask[3:7, 10] = 0.0       # scattered dark pixels (column 10 partial)
     inp = v * mask + (-1.0) * (1 - mask)
-    out_best, _ = gan_train_restore(
-        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10, best_tail=4),
-        key=0)
-    out_one, _ = gan_train_restore(
-        inp, v, mask, GANTrainConfig(epochs=40, scan_chunk=10), key=0)
-    out_best, out_one = np.asarray(out_best), np.asarray(out_one)
-    np.testing.assert_allclose(out_best[:, :40], inp[:, :40], atol=1e-6)
-    hole = (1 - mask)
-    l1_best = np.abs((out_best - v) * hole).sum() / hole.sum()
-    l1_one = np.abs((out_one - v) * hole).sum() / hole.sum()
-    assert l1_best <= l1_one + 1e-6, (l1_best, l1_one)
-
-
-def test_gan_avg_best_tail_mutually_exclusive():
-    v = _toy_spec(seed=6) * 2.0 - 1.0
-    mask = np.ones_like(v)
-    with np.testing.assert_raises(ValueError):
-        gan_train_restore(v, v, mask,
-                          GANTrainConfig(epochs=20, scan_chunk=10,
-                                         avg_tail=2, best_tail=2), key=0)
+    outs = {}
+    for name, cfg in [
+            ("one", GANTrainConfig(epochs=30, scan_chunk=10)),
+            ("full", GANTrainConfig(epochs=30, scan_chunk=10, ema_decay=0.9)),
+            ("gap", GANTrainConfig(epochs=30, scan_chunk=10, ema_decay=0.9,
+                                   ema_scope="gap"))]:
+        o, _ = gan_train_restore(inp, v, mask, cfg, key=0)
+        outs[name] = np.asarray(o)
+    one, full, gap = outs["one"], outs["full"], outs["gap"]
+    np.testing.assert_allclose(gap[:, :10], inp[:, :10], atol=1e-6)
+    np.testing.assert_allclose(gap[:, 40:56], full[:, 40:56], atol=1e-6)
+    np.testing.assert_allclose(gap[3:7, 10], one[3:7, 10], atol=1e-6)
+    assert not np.allclose(gap, one) and not np.allclose(gap, full)
 
 
 def test_gan_retry_l1_retrains_on_bad_draw():

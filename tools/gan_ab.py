@@ -92,21 +92,32 @@ VARIANTS = {
     "bf16": GANTrainConfig(bf16=True),                     # production default
     "bf16-pd": GANTrainConfig(bf16=True, packed_d=True),
     "bf16-ud": GANTrainConfig(bf16=True, packed_d=False),
-    "bf16-avg4": GANTrainConfig(bf16=True, scan_chunk=250, avg_tail=4),
-    "bf16-avg6": GANTrainConfig(bf16=True, scan_chunk=100, avg_tail=6),
-    # tighter tail: snapshots at epochs 1350/1400/1450/1500 only
-    "bf16-avg4-c50": GANTrainConfig(bf16=True, scan_chunk=50, avg_tail=4),
-    # retrain-on-collapse (hole-L1 signature >= 0.04) and combined
+    # (avg_tail / best_tail readout variants were measured here and the
+    # options removed — avg_tail blurs the fill [global SNR -5 dB at K=4/6],
+    # best_tail is the identity [argmin of a monotone training objective];
+    # docs/DESIGN.md "GAN readout policy" has the recorded numbers.)
+    # retrain-on-collapse (hole-L1 signature >= 0.04)
     "bf16-retry": GANTrainConfig(bf16=True, retry_l1=0.04),
-    "bf16-avg4-retry": GANTrainConfig(bf16=True, scan_chunk=250, avg_tail=4,
-                                      retry_l1=0.04),
-    # argmin-by-hole-L1 tail selection (no blurring, unlike avg_tail)
-    "bf16-best4-c100": GANTrainConfig(bf16=True, best_tail=4),
-    "bf16-best8-c50": GANTrainConfig(bf16=True, scan_chunk=50, best_tail=8),
-    "bf16-best8-retry": GANTrainConfig(bf16=True, scan_chunk=50, best_tail=8,
-                                       retry_l1=0.04),
+    # weight-space EMA, zero-init + bias-corrected (the first EMA measurement
+    # seeded from the random init — 0.22 init weight at d=0.999 — and was
+    # rejected on that artifact; these re-test the corrected form)
+    "bf16-ema9": GANTrainConfig(bf16=True, ema_decay=0.9),
+    "bf16-ema95": GANTrainConfig(bf16=True, ema_decay=0.95),
+    "bf16-ema98": GANTrainConfig(bf16=True, ema_decay=0.98),
+    "bf16-ema99": GANTrainConfig(bf16=True, ema_decay=0.99),
+    "bf16-ema995": GANTrainConfig(bf16=True, ema_decay=0.995),
+    "bf16-ema999": GANTrainConfig(bf16=True, ema_decay=0.999),
+    "bf16-ema995-retry": GANTrainConfig(bf16=True, ema_decay=0.995,
+                                        retry_l1=0.04),
+    # gap-column-scoped EMA readout: EMA fill in the contiguous hole only,
+    # single-inference fill on the scattered dark pixels
+    "bf16-ema99g": GANTrainConfig(bf16=True, ema_decay=0.99,
+                                  ema_scope="gap"),
+    "bf16-ema95g": GANTrainConfig(bf16=True, ema_decay=0.95,
+                                  ema_scope="gap"),
+    "bf16-ema99g-retry": GANTrainConfig(bf16=True, ema_decay=0.99,
+                                        ema_scope="gap", retry_l1=0.04),
     "bf16-c500": GANTrainConfig(bf16=True, scan_chunk=500),
-    "bf16-avg3-c500": GANTrainConfig(bf16=True, scan_chunk=500, avg_tail=3),
     "f32": GANTrainConfig(bf16=False),
     "f32-pd": GANTrainConfig(bf16=False, packed_d=True),
     "f32-ud": GANTrainConfig(bf16=False, packed_d=False),

@@ -39,7 +39,10 @@ def fence(x=None):
 
 def main() -> int:
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-    cfg = GANTrainConfig(bf16=True, epochs=epochs)
+    # the production part-2 config's one-draw path (pipelines/part2.py);
+    # retry_l1 is a host-side policy outside this probe's scope
+    cfg = GANTrainConfig(bf16=True, epochs=epochs, ema_decay=0.99,
+                         ema_scope="gap")
     rng = np.random.RandomState(0)
     norm_h = rng.rand(513, 1723).astype(np.float32) * 2 - 1
 
@@ -68,6 +71,9 @@ def main() -> int:
         state = (g_vars["params"], g_vars["batch_stats"],
                  _jit_adam_init(g_vars["params"]), d_vars["params"],
                  d_vars["batch_stats"], _jit_adam_init(d_vars["params"]))
+        if cfg.ema_decay > 0.0:
+            state += (jax.tree_util.tree_map(jnp.zeros_like,
+                                             g_vars["params"]),)
         fence(state[2])
         t["opt_init"] = time.time() - t0
 
@@ -83,11 +89,20 @@ def main() -> int:
         t["train_chunks"] = time.time() - t0
 
         t0 = time.time()
-        # avg_tail 0/1 = the production default: ONE final eval-mode
-        # inference (gan_train_restore's reference-exact path).
-        snaps = [_jit_apply_eval(g_model, state[0], state[1], inp)
-                 for _ in range(max(1, cfg.avg_tail))]
-        fake = sum(snaps[1:], snaps[0]) / float(len(snaps))
+        # readout mirrors gan_train_restore: EMA weights (gap-scoped or
+        # full) when configured, else the reference-exact single inference
+        if cfg.ema_decay > 0.0:
+            corr = 1.0 - cfg.ema_decay ** cfg.epochs
+            ema_p = jax.tree_util.tree_map(lambda e: e / corr, state[6])
+            fake = _jit_apply_eval(g_model, ema_p, state[1], inp)
+            if cfg.ema_scope == "gap":
+                fake_one = _jit_apply_eval(g_model, state[0], state[1], inp)
+                hole_col = jnp.sum((1.0 - msk) * vld, axis=1, keepdims=True)
+                vld_col = jnp.sum(vld, axis=1, keepdims=True)
+                gap_col = hole_col > 0.98 * jnp.maximum(vld_col, 1.0)
+                fake = jnp.where(gap_col, fake, fake_one)
+        else:
+            fake = _jit_apply_eval(g_model, state[0], state[1], inp)
         final = inp * msk + fake * (1.0 - msk)
         out = np.asarray(final[0, :f0, :t0sh, 0])
         t["eval_and_fetch"] = time.time() - t0
