@@ -23,6 +23,7 @@ no conv<->matmul relayout copies inside blocks), so T pads to 32.
 from __future__ import annotations
 
 import functools
+import warnings
 from dataclasses import dataclass
 
 import jax
@@ -288,10 +289,28 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
         upd, st = tx.update(grad, st, p_carry)
         return optax.apply_updates(p_carry, upd), st
 
+    # The PatchGAN map is EMPTY for clips under ~32x32 padded cells (three
+    # stride-2 convs then a 4x4 VALID head): jnp.mean over it is NaN with
+    # zero gradient — training silently proceeds on the L1 term alone while
+    # the reported losses are NaN. Make that contract explicit instead:
+    # adversarial term = 0.0 exactly (the same gradients), finite losses.
+    # Production spectrograms (F=513 from the 1024-point STFT) never hit it.
+    d_map = jax.eval_shape(
+        lambda x: d_model.init_with_output(jax.random.PRNGKey(0), x, True)[0],
+        jax.ShapeDtypeStruct(inp.shape, jnp.float32))
+    if d_map.size == 0:
+        warnings.warn(
+            f"clip {inp.shape[1]}x{inp.shape[2]} is too small for the "
+            f"PatchGAN discriminator (logits map {d_map.shape} is empty); "
+            "the adversarial term is 0 and the generator trains on the L1 "
+            "term only", stacklevel=2)
+
     # BCE from logits (the Discriminator returns logits): identical value to
     # sigmoid+BCE but saturation-stable — torch's BCELoss clamps logs at
     # -100 to survive this; the naive jnp formulation NaNs mid-training
     def bce(logits, t):
+        if logits.size == 0:
+            return jnp.float32(0.0)
         return jnp.mean(jnp.maximum(logits, 0.0) - logits * t
                         + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 

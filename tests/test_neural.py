@@ -150,3 +150,24 @@ def test_gan_retry_l1_retrains_on_bad_draw():
     out_retry = np.asarray(out_retry)
     np.testing.assert_allclose(out_retry[:, :40], inp[:, :40], atol=1e-6)
     assert not np.allclose(out_retry, np.asarray(out_plain))
+
+
+def test_gan_empty_patchgan_map_contract():
+    """Clips below the PatchGAN's receptive floor (~32x32 padded cells)
+    train on the L1 term alone: d_loss is exactly 0.0 (empty logits map),
+    g_loss is finite, and a warning says so. Pins the round-3 fix — the
+    empty map's jnp.mean used to report silent NaN losses while training
+    proceeded on the L1 gradients."""
+    import pytest
+
+    rng = np.random.RandomState(11)
+    v = (rng.rand(8, 32).astype(np.float32)) * 2 - 1
+    mask = np.ones_like(v)
+    mask[:, 12:20] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)
+    with pytest.warns(UserWarning, match="PatchGAN"):
+        out, (dl, gl) = gan_train_restore(
+            inp, v, mask, GANTrainConfig(epochs=2, scan_chunk=2), key=0)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(dl), 0.0)
+    assert np.isfinite(np.asarray(gl)).all()

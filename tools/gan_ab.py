@@ -14,6 +14,7 @@ Usage: python tools/gan_ab.py [variant ...]
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -64,6 +65,8 @@ def run_variant(name: str, cfg: GANTrainConfig, sr, data, damaged, n, gs, ge,
     keep = (norm > -0.95).astype(jnp.float32)
     z_real = stft(jnp.asarray(data), _CFG)
     real_norm = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
+    if epochs != cfg.epochs:
+        cfg = dataclasses.replace(cfg, epochs=epochs)
     final_norm, (dl, gl) = gan_train_restore(norm, real_norm, keep, cfg,
                                              key=seed)
     final_mag = (jnp.asarray(final_norm) + 1.0) / 2.0 * (mag_max - mag_min) \
@@ -131,9 +134,15 @@ def main():
     ctx = prepare()
     seeds = [int(s) for s in
              os.environ.get("GAN_AB_SEEDS", "0").split(",")]
+    epoch_grid = [int(e) for e in
+                  os.environ.get("GAN_AB_EPOCHS", "1500").split(",")]
     for name in names:
-        for seed in seeds:
-            run_variant(f"{name}@s{seed}", VARIANTS[name], *ctx, seed=seed)
+        for epochs in epoch_grid:
+            for seed in seeds:
+                tag = f"{name}@e{epochs}s{seed}" if len(epoch_grid) > 1 \
+                    else f"{name}@s{seed}"
+                run_variant(tag, VARIANTS[name], *ctx, epochs=epochs,
+                            seed=seed)
 
 
 if __name__ == "__main__":
