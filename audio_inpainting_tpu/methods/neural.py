@@ -398,6 +398,33 @@ def _gan_train_chunk(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
 
 
 
+def gan_readout_fake(eval_fn, state, msk, vld, cfg: GANTrainConfig):
+    """The GAN readout contract, shared by the single-clip path, the batched
+    serving path (parallel/gan_batch.py) and the probe tools so the three
+    can never drift (their equivalence is also pinned by tests).
+
+    ``eval_fn(params, batch_stats) -> fake``; msk/vld are NHWC (1, F, T, 1).
+    ema_decay=0 is one eval-mode forward of the final params (reference
+    main_gan_gap.py:150-153). ema_decay>0 reads out the bias-corrected
+    weight-space EMA (zero-init accumulator, so ema / (1 - d^T) removes the
+    init term exactly); ema_scope="gap" takes the EMA fill only in
+    fully-dark columns and the single-inference fill elsewhere
+    (docs/DESIGN.md "GAN readout policy" has the 5-seed measurements).
+    """
+    if cfg.ema_decay <= 0.0:
+        return eval_fn(state[0], state[1])
+    corr = 1.0 - cfg.ema_decay ** cfg.epochs
+    ema_p = jax.tree_util.tree_map(lambda e: e / corr, state[6])
+    fake = eval_fn(ema_p, state[1])
+    if cfg.ema_scope == "gap":
+        fake_one = eval_fn(state[0], state[1])
+        hole_col = jnp.sum((1.0 - msk) * vld, axis=1, keepdims=True)
+        vld_col = jnp.sum(vld, axis=1, keepdims=True)
+        gap_col = (hole_col > 0.98 * jnp.maximum(vld_col, 1.0))
+        fake = jnp.where(gap_col, fake, fake_one)
+    return fake
+
+
 def gan_train_restore(input_norm, real_norm, mask,
                       cfg: GANTrainConfig = GANTrainConfig(),
                       key: jax.Array | int = 0):
@@ -446,18 +473,7 @@ def gan_train_restore(input_norm, real_norm, mask,
             g_hist.append(gl)
             done += n
         # final inference in eval mode (running stats), reference :150-153
-        if cfg.ema_decay > 0.0:
-            corr = 1.0 - cfg.ema_decay ** cfg.epochs
-            ema_p = jax.tree_util.tree_map(lambda e: e / corr, state[6])
-            fake = eval_fake(ema_p, state[1])
-            if cfg.ema_scope == "gap":
-                fake_one = eval_fake(state[0], state[1])
-                hole_col = jnp.sum((1.0 - msk) * vld, axis=1, keepdims=True)
-                vld_col = jnp.sum(vld, axis=1, keepdims=True)
-                gap_col = (hole_col > 0.98 * jnp.maximum(vld_col, 1.0))
-                fake = jnp.where(gap_col, fake, fake_one)
-        else:
-            fake = eval_fake(state[0], state[1])
+        fake = gan_readout_fake(eval_fake, state, msk, vld, cfg)
         final = inp * msk + fake * (1.0 - msk)
         return final, (jnp.concatenate(d_hist), jnp.concatenate(g_hist))
 
@@ -465,7 +481,9 @@ def gan_train_restore(input_norm, real_norm, mask,
     if cfg.retry_l1 > 0.0:
         hole = (1.0 - msk) * vld     # computed (and synced) only when gated
         hole_sum = float(jnp.sum(hole))
-        l1 = float(jnp.sum(jnp.abs((final - real) * hole))) / hole_sum
+        # no hole (mask all-kept): nothing was filled, nothing to judge
+        l1 = (float(jnp.sum(jnp.abs((final - real) * hole))) / hole_sum
+              if hole_sum > 0.0 else 0.0)
         if l1 > cfg.retry_l1:
             # measured mode-collapse signature; one retrain on a fresh draw
             final, hist = train_once(jax.random.fold_in(key, 1))

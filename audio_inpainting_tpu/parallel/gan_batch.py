@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..methods.neural import GANTrainConfig, _d_model, _gan_scan_core, _dtype
+from ..methods.neural import (GANTrainConfig, _d_model, _dtype,
+                              _gan_scan_core, gan_readout_fake)
 from ..models.packed_unet import PackedGeneratorUNet
 from .mesh import make_mesh
 
@@ -79,27 +80,14 @@ def _local_composite(state, inp, msk, vld, cfg: GANTrainConfig):
 
     def one(args):
         st, x, m, v = args
-        # readout mirrors methods.neural.gan_train_restore exactly: EMA
-        # weights (bias-corrected, optionally gap-column-scoped) or the
-        # reference-exact single inference
-        if cfg.ema_decay > 0.0:
-            corr = 1.0 - cfg.ema_decay ** cfg.epochs
-            ema_p = jax.tree_util.tree_map(lambda e: e / corr, st[6])
-            fake = g_model.apply({"params": ema_p, "batch_stats": st[1]},
-                                 x[None, :, :, None], False)
-            if cfg.ema_scope == "gap":
-                fake_one = g_model.apply(
-                    {"params": st[0], "batch_stats": st[1]},
-                    x[None, :, :, None], False)
-                hole_col = jnp.sum((1.0 - m) * v, axis=0, keepdims=True)
-                vld_col = jnp.sum(v, axis=0, keepdims=True)
-                gap_col = hole_col > 0.98 * jnp.maximum(vld_col, 1.0)
-                fake = jnp.where(gap_col[None, :, :, None], fake, fake_one)
-        else:
-            fake = g_model.apply({"params": st[0], "batch_stats": st[1]},
-                                 x[None, :, :, None], False)
-        return (x[None, :, :, None] * m[None, :, :, None]
-                + fake * (1.0 - m[None, :, :, None]))[0, :, :, 0]
+        # readout IS methods.neural's (one shared helper, so the batched
+        # path can never drift from the benched single-clip semantics)
+        x4, m4, v4 = (a[None, :, :, None] for a in (x, m, v))
+        fake = gan_readout_fake(
+            lambda p, bs: g_model.apply({"params": p, "batch_stats": bs},
+                                        x4, False),
+            st, m4, v4, cfg)
+        return (x4 * m4 + fake * (1.0 - m4))[0, :, :, 0]
 
     return jax.lax.map(one, (state, inp, msk, vld))
 
@@ -137,7 +125,8 @@ def restore_clips_gan(norm_batch, real_batch, mask_batch,
                       cfg: GANTrainConfig = GANTrainConfig(),
                       mesh: Mesh | None = None,
                       key: jax.Array | int = 0,
-                      valid_batch=None):
+                      valid_batch=None,
+                      n_real: int | None = None):
     """Restore a batch of clips' [-1,1] magnitudes, one GAN pair per clip.
 
     norm_batch, real_batch, mask_batch: (G, F, T); mask 1 = kept. G must
@@ -145,6 +134,10 @@ def restore_clips_gan(norm_batch, real_batch, mask_batch,
     content): marks each clip's true extent when callers pre-pad unequal
     lengths — pad cells are excluded from the L1 reconstruction term and
     its denominator, matching the single-clip path's _valid4 semantics.
+    n_real (optional): only the first n_real clips are REAL; the rest are
+    batch-padding duplicates the caller will drop, so they never gate the
+    retry_l1 mode-collapse check (a duplicate's independent bad draw must
+    not trigger a retry pass for outputs nobody keeps).
     Returns (composited (G, F, T), (d_loss_last (G,), g_loss_last (G,)))
     — the single-clip methods.neural.gan_train_restore contract, batched.
     """
@@ -181,16 +174,27 @@ def restore_clips_gan(norm_batch, real_batch, mask_batch,
         # per-clip mode-collapse retry, same signature and folded-key policy
         # as the single-clip path (methods.neural.gan_train_restore); the
         # failed subset retrains in ONE second batched pass, padded by
-        # repeating its first clip up to a mesh-divisible count
+        # repeating its first clip up to a power-of-two multiple of the
+        # mesh size (capped at G) so the set of retry shapes — and hence
+        # of XLA programs the 100-epoch scan chunk compiles — stays
+        # logarithmic in G instead of one per distinct failure count
         import numpy as np
 
         hole = (1.0 - mskp) * vld
-        l1 = np.asarray(jnp.sum(jnp.abs(out - realp) * hole, axis=(1, 2))
-                        / jnp.maximum(jnp.sum(hole, axis=(1, 2)), 1e-9))
+        # np.array (copy): asarray of a jax array is a READ-ONLY view and
+        # the n_real masking below writes into it
+        l1 = np.array(jnp.sum(jnp.abs(out - realp) * hole, axis=(1, 2))
+                      / jnp.maximum(jnp.sum(hole, axis=(1, 2)), 1e-9))
+        if n_real is not None:
+            l1[n_real:] = 0.0         # padding duplicates never gate a retry
         bad = np.flatnonzero(l1 > cfg.retry_l1)
         if bad.size:
+            quota = mesh.devices.size
+            while quota < bad.size:
+                quota *= 2
+            quota = min(quota, g)
             sel = np.concatenate(
-                [bad, np.repeat(bad[:1], (-bad.size) % mesh.devices.size)])
+                [bad, np.repeat(bad[:1], quota - bad.size)])
             keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys[sel])
             out2, dl2, gl2 = run(inp[sel], realp[sel], mskp[sel], vld[sel],
                                  keys2)

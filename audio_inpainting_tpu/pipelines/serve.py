@@ -212,14 +212,18 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
         # reconstruction term (single-clip _valid4 semantics)
         valid = _true_extent_mask(norm.shape, f, clips)
         # same readout policy as the benched part-2 pipeline (gap-scoped
-        # weight EMA + collapse retry) so serving never drifts from it
+        # weight EMA + collapse retry) so serving never drifts from it;
+        # the 0.04 collapse signature is calibrated at convergence, so the
+        # retry only arms at the full budget (see pipelines/part2.py), and
+        # batch-padding duplicates never gate it (n_real)
         cfg = GANTrainConfig(epochs=epochs, bf16=True,
                              scan_chunk=min(100, epochs),
                              ema_decay=0.99, ema_scope="gap",
-                             retry_l1=0.04)
+                             retry_l1=0.04 if epochs >= 1500 else 0.0)
         out, _ = restore_clips_gan(_batch_pad(norm), _batch_pad(rnorm),
                                    _batch_pad(masks), cfg, mesh=mesh,
-                                   key=seed, valid_batch=_batch_pad(valid))
+                                   key=seed, valid_batch=_batch_pad(valid),
+                                   n_real=g)
         final = (np.asarray(out)[:g] + 1) / 2 * (hi - lo) + lo
     else:
         # every other method runs through the per-clip facade (these are

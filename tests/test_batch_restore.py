@@ -175,6 +175,30 @@ def test_gan_batch_retry_retrains_bad_clips():
     np.testing.assert_array_equal(np.asarray(dl1), 0.0)
 
 
+def test_gan_batch_n_real_padding_never_gates_retry():
+    """Batch-padding duplicates (clips past n_real) must not trigger the
+    retry pass: with every real clip excluded from the check via n_real=0,
+    a retry_l1 that would otherwise force a retrain produces the identical
+    output to retry_l1=0 (no second pass ran)."""
+    from audio_inpainting_tpu.methods.neural import GANTrainConfig
+    from audio_inpainting_tpu.parallel import restore_clips_gan
+
+    rng = np.random.RandomState(23)
+    G, F, T = 2, 8, 32
+    real = (rng.rand(G, F, T).astype(np.float32)) * 2 - 1
+    masks = np.ones_like(real)
+    masks[:, :, 12:20] = 0.0
+    norm = real * masks + (-1.0) * (1 - masks)
+    out_plain, _ = restore_clips_gan(
+        norm, real, masks, GANTrainConfig(epochs=3, scan_chunk=3), key=5)
+    out_gated, _ = restore_clips_gan(
+        norm, real, masks,
+        GANTrainConfig(epochs=3, scan_chunk=3, retry_l1=1e-6), key=5,
+        n_real=0)
+    np.testing.assert_array_equal(np.asarray(out_plain),
+                                  np.asarray(out_gated))
+
+
 def test_unet_batch_single_clip_matches_unet_train_restore():
     """restore_clips_unet with one conforming clip reproduces the benched
     single-clip unet_train_restore (same packed trainer core, same keys)."""

@@ -152,6 +152,18 @@ def test_gan_retry_l1_retrains_on_bad_draw():
     assert not np.allclose(out_retry, np.asarray(out_plain))
 
 
+def test_gan_retry_holeless_mask_is_a_noop():
+    """retry_l1 with an all-kept mask (no hole at all — e.g. blind damage
+    detection found nothing): nothing to judge, no division by the empty
+    hole, output is the input composite."""
+    v = _toy_spec(seed=6) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    out, _ = gan_train_restore(
+        v, v, mask, GANTrainConfig(epochs=2, scan_chunk=2, retry_l1=0.04),
+        key=0)
+    np.testing.assert_allclose(np.asarray(out), v, atol=1e-6)
+
+
 def test_gan_empty_patchgan_map_contract():
     """Clips below the PatchGAN's receptive floor (~32x32 padded cells)
     train on the L1 term alone: d_loss is exactly 0.0 (empty logits map),

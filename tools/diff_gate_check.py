@@ -41,19 +41,36 @@ def main() -> int:
     gs, ge = center_gap_bounds(len(data), sr)
     damaged = data.copy()
     damaged[gs:ge] = 0.0
+    # the benched leg consumes the damaged signal RELOADED through the
+    # int16 WAV chain (pipelines/part2.py writes part2_data.wav and every
+    # downstream method reads it back); skipping the quantization here
+    # would let this tool's verdict diverge from the official bench near
+    # the gate boundary
+    import os
+    import tempfile
+
+    from audio_inpainting_tpu.io.wav import save_wav_int16
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        save_wav_int16(damaged, sr, f.name)
+        _, damaged = load_mono_normalized(f.name)
+    os.unlink(f.name)
 
     t0 = time.time()
     out = np.clip(diffusion_restore_audio(damaged, sr, cfg, key=0,
                                           params=params), -1.0, 1.0)
     infer_s = time.time() - t0
+    # the gate floors come from bench.GATES itself, so tightening the
+    # official gates tightens this tool with them
+    gates = {metric: floor for part, method, metric, floor in bench.GATES
+             if part == "part2" and method == "diffusion"}
     res = {
         "snr_db": round(float(snr_db(data, out)), 3),
         "local_snr_db": round(float(snr_db(data[gs:ge], out[gs:ge])), 3),
         "pretrain_s": round(pre_s, 1),
         "infer_s": round(infer_s, 1),
-        "gates": {"snr_db": 3.0, "local_snr_db": -1.0},
+        "gates": gates,
     }
-    res["pass"] = (res["snr_db"] >= 3.0 and res["local_snr_db"] >= -1.0)
+    res["pass"] = all(res[m] >= floor for m, floor in gates.items())
     print(json.dumps(res))
     return 0 if res["pass"] else 1
 

@@ -89,20 +89,11 @@ def main() -> int:
         t["train_chunks"] = time.time() - t0
 
         t0 = time.time()
-        # readout mirrors gan_train_restore: EMA weights (gap-scoped or
-        # full) when configured, else the reference-exact single inference
-        if cfg.ema_decay > 0.0:
-            corr = 1.0 - cfg.ema_decay ** cfg.epochs
-            ema_p = jax.tree_util.tree_map(lambda e: e / corr, state[6])
-            fake = _jit_apply_eval(g_model, ema_p, state[1], inp)
-            if cfg.ema_scope == "gap":
-                fake_one = _jit_apply_eval(g_model, state[0], state[1], inp)
-                hole_col = jnp.sum((1.0 - msk) * vld, axis=1, keepdims=True)
-                vld_col = jnp.sum(vld, axis=1, keepdims=True)
-                gap_col = hole_col > 0.98 * jnp.maximum(vld_col, 1.0)
-                fake = jnp.where(gap_col, fake, fake_one)
-        else:
-            fake = _jit_apply_eval(g_model, state[0], state[1], inp)
+        # readout IS gan_train_restore's (the shared helper)
+        from audio_inpainting_tpu.methods.neural import gan_readout_fake
+        fake = gan_readout_fake(
+            lambda p, bs: _jit_apply_eval(g_model, p, bs, inp),
+            state, msk, vld, cfg)
         final = inp * msk + fake * (1.0 - msk)
         out = np.asarray(final[0, :f0, :t0sh, 0])
         t["eval_and_fetch"] = time.time() - t0

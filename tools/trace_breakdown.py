@@ -16,11 +16,14 @@ import glob
 import gzip
 import json
 import re
-import sys
 
 
 def breakdown(trace_dir: str, exact: bool = False):
-    f = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    traces = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        raise SystemExit(f"no *.trace.json.gz under {trace_dir}/plugins/"
+                         f"profile/ — is this a jax.profiler trace dir?")
+    f = traces[-1]
     with gzip.open(f) as fh:
         d = json.load(fh)
     groups: dict[str, list[float]] = {}
@@ -40,10 +43,16 @@ def breakdown(trace_dir: str, exact: bool = False):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    k = int(args[1]) if len(args) > 1 else 25
-    exact = "--exact" in sys.argv
-    rows, total = breakdown(args[0], exact)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("trace_dir")
+    p.add_argument("-k", type=int, default=25, help="rows to print")
+    p.add_argument("--exact", action="store_true",
+                   help="keep per-instance op suffixes (fusion.123)")
+    ns = p.parse_args()
+    k, exact = ns.k, ns.exact
+    rows, total = breakdown(ns.trace_dir, exact)
     print(f"{'ms':>10} {'%':>6} {'count':>7}  op")
     for dur, cnt, name in rows[:k]:
         print(f"{dur / 1e3:10.3f} {100 * dur / total:6.2f} {cnt:7d}  {name}")
