@@ -111,28 +111,68 @@ def render_static_html(assets_dir: str) -> str:
             "body{font-family:sans-serif;max-width:900px;margin:auto}"
             ".card{border:1px solid #ccc;border-radius:8px;padding:12px;margin:12px 0}"
             "</style></head><body><h1>Signal Restorer: Audio Inpainting Showcase"
-            f"</h1>{body}</body></html>")
+            f"</h1>{_LIVE_PANEL}{body}</body></html>")
+
+
+# Browser front-end for the live-restore API (demo/live.py): upload a
+# damaged WAV, pick a method, play the restored clip. Beyond-reference —
+# the reference demo serves only precomputed artifacts.
+_LIVE_PANEL = """
+<div class='card' id='live'>
+<h3>⚡ Live restore (POST /api/restore)</h3>
+<input type='file' id='wav' accept='.wav,audio/wav'>
+<select id='method'>
+<option value='ar'>ar (bidirectional autoregressive)</option>
+<option value='linear'>linear (fastest)</option>
+<option value='nmf'>nmf (masked spectrogram factorization)</option>
+<option value='unet'>unet (per-clip self-supervised, slow)</option>
+<option value='diffusion'>diffusion (DDPM/RePaint, slow)</option>
+</select>
+<button id='go'>Restore</button> <span id='status'></span>
+<br><audio id='out' controls style='display:none;margin-top:8px'></audio>
+<script>
+document.getElementById('go').onclick = async () => {
+  const f = document.getElementById('wav').files[0];
+  const st = document.getElementById('status');
+  if (!f) { st.textContent = 'pick a WAV first'; return; }
+  const m = document.getElementById('method').value;
+  st.textContent = 'restoring with ' + m + '\\u2026 (neural methods train per clip)';
+  try {
+    const r = await fetch('/api/restore?method=' + m,
+                          {method: 'POST', body: await f.arrayBuffer()});
+    if (!r.ok) { st.textContent = 'error: ' + (await r.json()).error; return; }
+    const a = document.getElementById('out');
+    a.src = URL.createObjectURL(await r.blob());
+    a.style.display = 'block';
+    st.textContent = 'done';
+  } catch (e) { st.textContent = 'request failed: ' + e; }
+};
+</script>
+</div>"""
 
 
 def _launch_static(assets_dir: str, port: int = 7860):  # pragma: no cover
-    import http.server
+    from .live import serve
 
     index = os.path.join(assets_dir, "index.html")
     with open(index, "w") as f:
         f.write(render_static_html(assets_dir))
 
-    class Handler(http.server.SimpleHTTPRequestHandler):
-        def __init__(self, *a, **kw):
-            super().__init__(*a, directory=assets_dir, **kw)
-
-    print(f"demo at http://localhost:{port}/ (static gallery; gradio not installed)")
-    http.server.ThreadingHTTPServer(("", port), Handler).serve_forever()
+    print("static gallery (gradio not installed) + live-restore API")
+    serve(assets_dir, port)
 
 
 def launch(assets_dir: str = "demo_assets", share: bool = False):
     try:
         import gradio  # noqa: F401
-
-        _launch_gradio(assets_dir, share)
     except ImportError:
-        _launch_static(assets_dir)
+        _launch_static(assets_dir)   # static gallery + live API on :7860
+        return
+    # gradio owns :7860; the live-restore API still runs, on :7861
+    import threading
+
+    from .live import serve
+
+    threading.Thread(target=serve, args=(assets_dir, 7861),
+                     daemon=True).start()
+    _launch_gradio(assets_dir, share)

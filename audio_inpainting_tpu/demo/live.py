@@ -1,0 +1,201 @@
+"""Live-restore HTTP API: POST a damaged WAV, receive the restored WAV.
+
+Beyond-reference capability. The reference demo serves only precomputed
+artifacts (demo.py:6-63 — "no DSP at request time"); this module turns the
+same dependency-free static server (demo/app.py) into a live restoration
+service over the uniform ``restore()`` facade (api.py), with zero
+dependencies beyond the stdlib. The directory-batch path for bulk work is
+the ``serve`` CLI (cli/main.py); this is the single-request interactive
+counterpart.
+
+Endpoints
+---------
+GET  /api/methods
+    JSON description of the available methods and their query parameters.
+POST /api/restore?method=ar&seed=0&threshold=1e-4[&epochs=N]
+    Body: RIFF WAV bytes (any channel count / int16 or float — the
+    canonical load path mono-mixes and peak-normalizes, io/wav.py).
+    Response: 200 with the restored clip as int16 RIFF WAV bytes, or a
+    4xx/5xx JSON error. ``gan`` is rejected: the reference GAN trains
+    against the ground-truth clip (main_gan_gap.py:103-108), which a
+    damaged-only upload cannot provide.
+
+All static demo assets remain served as files (GET), so one server hosts
+both the gallery and the API.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import tempfile
+import threading
+import urllib.parse
+
+# One restore at a time: restores run minutes-long jit programs on the one
+# local device; interleaving them buys nothing and risks device OOM.
+_RESTORE_LOCK = threading.Lock()
+
+#: method -> (allowed, note). gan is refused with the reason below.
+METHODS = {
+    "linear": "fastest; straight-line fill over detected dropouts",
+    "ar": "bidirectional autoregressive fill with texture injection",
+    "nmf": "masked NMF spectrogram factorization over silent columns",
+    "gp": "Gaussian-process posterior fill (short clips only — O(n^3))",
+    "unet": "per-clip self-supervised spectrogram U-Net (epochs=400)",
+    "diffusion": "DDPM/RePaint spectrogram fill (train_steps per clip "
+                 "unless a pretrained checkpoint is configured)",
+}
+
+# Query parameters forwarded into restore(); everything else is rejected so
+# typos fail loudly instead of silently running defaults.
+_FLOAT_PARAMS = {"threshold"}
+_INT_PARAMS = {"seed", "epochs", "order", "train_steps"}
+
+
+class RestoreError(ValueError):
+    """Client error with an HTTP status."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def parse_params(query: str) -> dict:
+    """Validate /api/restore query params -> kwargs for restore_wav_bytes."""
+    q = urllib.parse.parse_qs(query, keep_blank_values=True)
+    out: dict = {}
+    for key, vals in q.items():
+        val = vals[-1]
+        try:
+            if key == "method":
+                out["method"] = val
+            elif key in _FLOAT_PARAMS:
+                out[key] = float(val)
+            elif key in _INT_PARAMS:
+                out[key] = int(val)
+            else:
+                raise RestoreError(400, f"unknown parameter {key!r}")
+        except ValueError as e:
+            if isinstance(e, RestoreError):
+                raise
+            raise RestoreError(400, f"bad value for {key!r}: {val!r}")
+    method = out.setdefault("method", "ar")
+    if method == "gan":
+        raise RestoreError(
+            400, "method 'gan' needs the clean original clip (the reference "
+                 "GAN trains against ground truth, main_gan_gap.py:103-108); "
+                 "use the `serve` CLI with --originals for batch GAN runs")
+    if method not in METHODS:
+        raise RestoreError(400, f"unknown method {method!r}; "
+                                f"one of {sorted(METHODS)}")
+    return out
+
+
+def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:
+    """Decode WAV bytes, restore with the facade, re-encode int16 WAV.
+
+    Round-trips through the canonical io/wav load/save path (tempfiles) so
+    the int16-chain semantics match the file-based pipelines exactly.
+    """
+    from .. import api
+    from ..io.wav import load_mono_normalized, save_wav_int16
+
+    # restore()'s facade kwargs: epochs -> the neural configs' field name
+    if method == "diffusion" and "epochs" in params:
+        params["train_steps"] = params.pop("epochs")
+
+    with tempfile.TemporaryDirectory() as td:
+        in_path = os.path.join(td, "in.wav")
+        with open(in_path, "wb") as f:
+            f.write(body)
+        try:
+            sr, damaged = load_mono_normalized(in_path)
+        except Exception as e:
+            raise RestoreError(400, f"body is not a decodable WAV: {e}")
+        if len(damaged) == 0:
+            raise RestoreError(400, "WAV decodes to zero samples")
+        if method == "gp" and len(damaged) > 20000:
+            # GP posterior is O(n^3); the reference confines it to 0.05 s
+            # windows (main1_gp.py:46-49). A full-length upload would hold
+            # the restore lock for hours.
+            raise RestoreError(
+                400, f"gp accepts clips up to 20000 samples (got "
+                     f"{len(damaged)}); the reference restricts GP to "
+                     "~0.05 s segments — crop first or pick another method")
+        try:
+            with _RESTORE_LOCK:
+                restored = api.restore(damaged, sr, method=method, **params)
+        except TypeError as e:
+            # a whitelisted param the chosen method's config doesn't take
+            raise RestoreError(400,
+                               f"parameter invalid for method {method!r}: {e}")
+        out_path = os.path.join(td, "out.wav")
+        save_wav_int16(restored, sr, out_path)
+        with open(out_path, "rb") as f:
+            return f.read()
+
+
+def make_handler(assets_dir: str):
+    """A SimpleHTTPRequestHandler subclass serving assets + the live API."""
+
+    class LiveHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=assets_dir, **kw)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send_json(self, status: int, obj) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if urllib.parse.urlsplit(self.path).path == "/api/methods":
+                self._send_json(200, {
+                    "methods": METHODS,
+                    "params": {"float": sorted(_FLOAT_PARAMS),
+                               "int": sorted(_INT_PARAMS)},
+                    "post": "/api/restore?method=<name>[&seed=..&...]"})
+                return
+            super().do_GET()
+
+        def do_POST(self):
+            split = urllib.parse.urlsplit(self.path)
+            if split.path != "/api/restore":
+                self._send_json(404, {"error": f"no POST route {split.path}"})
+                return
+            try:
+                params = parse_params(split.query)
+                length = int(self.headers.get("Content-Length") or 0)
+                if length <= 0:
+                    raise RestoreError(400, "empty body; POST the WAV bytes")
+                body = self.rfile.read(length)
+                wav = restore_wav_bytes(body, **params)
+            except RestoreError as e:
+                self._send_json(e.status, {"error": str(e)})
+                return
+            except Exception as e:  # restore-path failure: report, keep serving
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(wav)))
+            self.end_headers()
+            self.wfile.write(wav)
+
+    return LiveHandler
+
+
+def serve(assets_dir: str, port: int = 7860) -> None:  # pragma: no cover
+    """Blocking server hosting the static gallery + live API."""
+    server = http.server.ThreadingHTTPServer(("", port),
+                                             make_handler(assets_dir))
+    print(f"demo + live API at http://localhost:{port}/ "
+          f"(POST /api/restore, GET /api/methods)")
+    server.serve_forever()

@@ -1,0 +1,157 @@
+"""Live-restore HTTP API (demo/live.py): real requests over a loopback
+server, restoring an actual damaged clip through the facade."""
+
+import http.server
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audio_inpainting_tpu.demo.live import (RestoreError, make_handler,
+                                            parse_params, restore_wav_bytes)
+from audio_inpainting_tpu.io import (load_mono_normalized, read_wav,
+                                     save_wav_int16)
+
+
+def _damaged_clip(tmp_path, sr=8000, dur=4000, gap=(1000, 1400)):
+    # 1.5 Hz: the 400-sample gap spans <0.1 period near the crest, so a
+    # straight-line fill is a genuine improvement over the zero fill (a
+    # fast tone's gap covers whole periods, where linear interp can't win).
+    t = np.arange(dur)
+    x = 0.7 * np.sin(2 * np.pi * 1.5 * t / sr).astype(np.float32)
+    dmg = x.copy()
+    dmg[gap[0]:gap[1]] = 0.0
+    path = str(tmp_path / "damaged.wav")
+    save_wav_int16(dmg, sr, path)
+    return path, x / np.abs(x).max(), dmg, sr, gap
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    assets = tmp_path_factory.mktemp("assets")
+    (assets / "hello.txt").write_text("static ok")
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                          make_handler(str(assets)))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def _post(url, body, **kw):
+    req = urllib.request.Request(url, data=body, method="POST", **kw)
+    return urllib.request.urlopen(req, timeout=600)
+
+
+def test_parse_params_validation():
+    assert parse_params("method=ar&seed=3") == {"method": "ar", "seed": 3}
+    assert parse_params("")["method"] == "ar"
+    with pytest.raises(RestoreError):
+        parse_params("method=gan")            # needs the clean original
+    with pytest.raises(RestoreError):
+        parse_params("method=banana")
+    with pytest.raises(RestoreError):
+        parse_params("verbose=1")             # unknown param fails loudly
+    with pytest.raises(RestoreError):
+        parse_params("seed=abc")
+
+
+def test_restore_wav_bytes_rejects_garbage():
+    with pytest.raises(RestoreError):
+        restore_wav_bytes(b"not a wav at all", method="linear")
+
+
+def test_live_restore_linear_end_to_end(server, tmp_path):
+    path, clean, dmg, sr, gap = _damaged_clip(tmp_path)
+    with open(path, "rb") as f:
+        body = f.read()
+    resp = _post(f"{server}/api/restore?method=linear&threshold=0.01", body)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/wav"
+    out = tmp_path / "restored.wav"
+    out.write_bytes(resp.read())
+    sr2, restored = load_mono_normalized(str(out))
+    assert sr2 == sr and len(restored) == len(clean)
+    # the hole must be filled: restored gap energy > 0, error vs clean
+    # smaller than the damaged clip's
+    g = slice(*gap)
+    assert np.abs(restored[g]).max() > 0.01
+    _, dmg_n = load_mono_normalized(path)
+    assert (np.mean((restored[g] - clean[g]) ** 2)
+            < np.mean((dmg_n[g] - clean[g]) ** 2))
+
+
+def test_live_restore_ar_param_passthrough(server, tmp_path):
+    path, clean, dmg, sr, gap = _damaged_clip(tmp_path)
+    with open(path, "rb") as f:
+        body = f.read()
+    resp = _post(f"{server}/api/restore?method=ar&order=8&seed=1", body)
+    assert resp.status == 200
+    sr2, data = read_wav_bytes(resp.read(), tmp_path)
+    assert sr2 == sr and len(data) == len(clean)
+
+
+def read_wav_bytes(body, tmp_path):
+    p = tmp_path / "resp.wav"
+    p.write_bytes(body)
+    return read_wav(str(p))
+
+
+def test_live_api_errors(server, tmp_path):
+    path, *_ = _damaged_clip(tmp_path)
+    with open(path, "rb") as f:
+        body = f.read()
+    # gan refused with a clear message
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=gan", body)
+    assert e.value.code == 400
+    assert "ground truth" in json.loads(e.value.read())["error"]
+    # param not valid for the method -> 400 (not a 500)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=ar&train_steps=1", body)
+    assert e.value.code == 400
+    # empty body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=linear", b"")
+    assert e.value.code == 400
+    # unknown POST route
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/nope", body)
+    assert e.value.code == 404
+
+
+def test_methods_listing_and_static(server):
+    with urllib.request.urlopen(f"{server}/api/methods", timeout=60) as r:
+        listing = json.loads(r.read())
+    assert "linear" in listing["methods"] and "gan" not in listing["methods"]
+    with urllib.request.urlopen(f"{server}/hello.txt", timeout=60) as r:
+        assert r.read() == b"static ok"
+
+
+def test_static_gallery_includes_live_panel():
+    """The static gallery's live-restore panel posts to the API this server
+    mounts (upload form + method select + result player)."""
+    from audio_inpainting_tpu.demo.app import render_static_html
+
+    h = render_static_html("demo_assets")
+    assert "/api/restore" in h and "id='live'" in h
+    for m in ("ar", "linear", "nmf", "unet", "diffusion"):
+        assert f"value='{m}'" in h
+
+
+def test_gp_rejects_long_uploads(server, tmp_path):
+    """GP is O(n^3) — a full-length upload would hold the restore lock for
+    hours; the API refuses over 20k samples with a 400."""
+    sr = 44100
+    x = (0.5 * np.sin(np.arange(sr) * 0.05)).astype(np.float32)
+    p = tmp_path / "long.wav"
+    save_wav_int16(x, sr, str(p))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=gp", p.read_bytes())
+    assert e.value.code == 400
+    assert "20000" in json.loads(e.value.read())["error"]
