@@ -98,6 +98,19 @@ class GANTrainConfig:
     ema_scope: str = "full"
     # Flat-vector Adam (see UNetTrainConfig.flat_opt).
     flat_opt: bool = True
+    # Batch the D step's two forwards (real, composited fake) into ONE
+    # vmapped pass. Math-identical to the reference's separate netD calls —
+    # vmap keeps BatchNorm's per-input (N=1) batch statistics, and the
+    # running averages are merged to the exact sequential-update value —
+    # while XLA sees one conv per D layer at batch 2 instead of two at
+    # batch 1. (The earlier rejection of "batching D(real)+D(fake)" was
+    # about a naive N=2 concat, whose BN stats mix the pair; vmap doesn't.)
+    # MEASURED AND REJECTED as the default on v5e (tools/gan_epoch_time.py,
+    # band/packed/flat config): 13.81 ms/epoch vs 12.53 sequential — the
+    # batch-2 packed convs don't reach 2x the batch-1 rate at these shapes,
+    # and the stack/slice + stats-merge ops eat the op-count saving. Kept as
+    # an option with step-level equivalence pinned (tests/test_neural.py).
+    vmap_d: bool = False
 
 
 def _d_model(cfg):
@@ -334,15 +347,43 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
 
         # --- D step on [real | composited fake (detached)] ---
         def d_loss_fn(dpar, dbs_in):
-            out_real, upd1 = d_model.apply(
-                {"params": dpar, "batch_stats": dbs_in}, real, True,
-                mutable=["batch_stats"])
-            out_fake, upd2 = d_model.apply(
-                {"params": dpar, "batch_stats": upd1["batch_stats"]},
-                jax.lax.stop_gradient(completed), True, mutable=["batch_stats"])
+            if cfg.vmap_d:
+                # ONE batched D pass over the stacked pair via vmap. BatchNorm
+                # inside the vmap still normalizes each input with its OWN
+                # batch stats (each slice is N=1) — the same math as the
+                # reference's two separate netD calls (main_gan_gap.py:
+                # 131-137) — but XLA sees one conv per layer at double batch
+                # instead of two N=1 convs, halving the D-step op count.
+                pair = jnp.stack([real, jax.lax.stop_gradient(completed)])
+
+                def one(x):
+                    out, upd = d_model.apply(
+                        {"params": dpar, "batch_stats": dbs_in}, x, True,
+                        mutable=["batch_stats"])
+                    return out, upd["batch_stats"]
+
+                outs, upds = jax.vmap(one)(pair)
+                out_real, out_fake = outs[0], outs[1]
+                # Training outputs never read the running averages (train
+                # mode normalizes with batch stats), but carry the exact
+                # sequential-update value anyway: with u_i = m*r0 + (1-m)*s_i
+                # both computed from dbs_in, the reference's real-then-fake
+                # chaining is r2 = m*u_real + (1-m)*s_fake
+                #            = u_fake + m*(u_real - r0),   m = 0.9.
+                dbs_out = jax.tree_util.tree_map(
+                    lambda u, r0: u[1] + 0.9 * (u[0] - r0), upds, dbs_in)
+            else:
+                out_real, upd1 = d_model.apply(
+                    {"params": dpar, "batch_stats": dbs_in}, real, True,
+                    mutable=["batch_stats"])
+                out_fake, upd2 = d_model.apply(
+                    {"params": dpar, "batch_stats": upd1["batch_stats"]},
+                    jax.lax.stop_gradient(completed), True,
+                    mutable=["batch_stats"])
+                dbs_out = upd2["batch_stats"]
             loss = 0.5 * (bce(out_real, jnp.ones_like(out_real))
                           + bce(out_fake, jnp.zeros_like(out_fake)))
-            return loss, upd2["batch_stats"]
+            return loss, dbs_out
 
         (d_loss, dbs_mid), d_grad = jax.value_and_grad(
             d_loss_fn, has_aux=True)(dp, dbs)

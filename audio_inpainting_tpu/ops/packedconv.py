@@ -83,11 +83,44 @@ def _band_kernel_gather(k: jax.Array) -> jax.Array:
     return kb.transpose(0, 1, 3, 2, 4).reshape(3, (B + 2) * ci, B * co)
 
 
+def _kbuild_einsum() -> bool:
+    """One-hot-einsum kernel builds (AIT_KBUILD_EINSUM=1): every band/block
+    kernel build becomes ONE dot against a constant one-hot selection tensor
+    instead of a chain of dynamic-update-slices / concats. Bitwise-exact
+    (each output element receives exactly one 1.0*k term). The GAN epoch
+    trace shows ~814 update-slices + ~230 concats per epoch from these
+    builds — this was the op-count A/B for that tail. MEASURED AND REJECTED
+    on v5e: 19.07 ms/epoch vs 12.53 scatter/concat (tools/gan_epoch_time.py,
+    band/packed/flat config) — the one-hot dots have contraction dim 3-4,
+    which pads to full MXU tiles, while XLA compiles the update-slice chains
+    into cheap fusions. Kept for the measurement story + bitwise tests
+    (tests/test_packed.py); do not enable in production."""
+    import os
+
+    return os.environ.get("AIT_KBUILD_EINSUM") == "1"
+
+
+def _band_kernel_einsum(k: jax.Array) -> jax.Array:
+    """_band_kernel as one einsum: kb[kh, p*Ci+i, j*Co+o] = k[kh, p-j, i, o]
+    for 0 <= p-j < 3, built by contracting a constant one-hot T[p, j, dw]."""
+    import numpy as np
+
+    _, _, ci, co = k.shape
+    p = np.arange(B + 2)[:, None, None]
+    j = np.arange(B)[None, :, None]
+    d = np.arange(3)[None, None, :]
+    t = jnp.asarray((p - j == d).astype(np.float32), k.dtype)
+    kb = jnp.einsum("pjd,kdio->kpijo", t, k)
+    return kb.reshape(3, (B + 2) * ci, B * co)
+
+
 def _band_kernel_auto(k: jax.Array) -> jax.Array:
     import os
 
     if os.environ.get("AIT_BAND_GATHER") == "1":
         return _band_kernel_gather(k)
+    if _kbuild_einsum():
+        return _band_kernel_einsum(k)
     return _band_kernel(k)
 
 
@@ -142,6 +175,24 @@ def _bwd(res, g):
     co = g.shape[3] // B
     xb = _gather_xb(xp, ci)
     gf = g.reshape(-1, B * co)
+    if _kbuild_einsum():
+        # fold via the same one-hot T as the band build: dk[kh, dw, i, o] =
+        # sum_j dkb[kh, (j+dw)*ci+i, j*co+o]. XLA may reassociate the 8-term
+        # j-sum (f32 ulp vs the sequential sum below); the builds themselves
+        # stay bitwise (one term each).
+        import numpy as np
+
+        p = np.arange(B + 2)[:, None, None]
+        j = np.arange(B)[None, :, None]
+        d = np.arange(3)[None, None, :]
+        t = jnp.asarray((p - j == d).astype(np.float32), jnp.float32)
+        dks = []
+        for kh in range(3):
+            xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
+            dkb = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32)
+            dkb4 = dkb.reshape(B + 2, ci, B, co)
+            dks.append(jnp.einsum("pjd,pijo->dio", t, dkb4))
+        return dx, jnp.stack(dks).astype(k.dtype)
     dk = jnp.zeros((3, 3, ci, co), jnp.float32)
     for kh in range(3):
         xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
@@ -349,9 +400,13 @@ def conv3x3_packed2_auto(xa: jax.Array, xb_: jax.Array, ka: jax.Array,
 def conv1x1_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     """1x1 conv as one block-diagonal lane matmul. k: (Ci, Co)."""
     ci, co = k.shape
-    kd = jnp.zeros((B * ci, B * co), k.dtype)
-    for j in range(B):
-        kd = kd.at[j * ci:(j + 1) * ci, j * co:(j + 1) * co].set(k)
+    if _kbuild_einsum():
+        kd = jnp.einsum("jm,io->jimo", jnp.eye(B, dtype=k.dtype),
+                        k).reshape(B * ci, B * co)
+    else:
+        kd = jnp.zeros((B * ci, B * co), k.dtype)
+        for j in range(B):
+            kd = kd.at[j * ci:(j + 1) * ci, j * co:(j + 1) * co].set(k)
     y = jnp.einsum("nhwk,kc->nhwc", xp, kd.astype(xp.dtype),
                    preferred_element_type=jnp.float32)
     return y.astype(xp.dtype)
@@ -417,15 +472,25 @@ def conv_transpose2x2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     kd = jnp.flip(k, (0, 1)).astype(xp.dtype)
     # (B/2*Ci, B*Co) for one row tap dr: out lane (2u+dc)*Co+o <- in lane
     # u*Ci+i with weight k[dr, dc, i, o]
-    kups = []
-    for dr in range(2):
-        ku = jnp.zeros((B // 2 * ci, B * co), kd.dtype)
-        for u in range(B // 2):
-            for dc in range(2):
-                ku = ku.at[u * ci:(u + 1) * ci,
-                           (2 * u + dc) * co:(2 * u + dc + 1) * co].set(
-                               kd[dr, dc])
-        kups.append(ku)
+    if _kbuild_einsum():
+        import numpy as np
+
+        u = np.arange(B // 2)[:, None, None]
+        m = np.arange(B)[None, :, None]
+        d = np.arange(2)[None, None, :]
+        s = jnp.asarray((m == 2 * u + d).astype(np.float32), kd.dtype)
+        kups = jnp.einsum("umd,rdio->ruimo", s, kd).reshape(
+            2, B // 2 * ci, B * co)
+    else:
+        kups = []
+        for dr in range(2):
+            ku = jnp.zeros((B // 2 * ci, B * co), kd.dtype)
+            for u in range(B // 2):
+                for dc in range(2):
+                    ku = ku.at[u * ci:(u + 1) * ci,
+                               (2 * u + dc) * co:(2 * u + dc + 1) * co].set(
+                                   kd[dr, dc])
+            kups.append(ku)
     lo, hi = xp[..., :B // 2 * ci], xp[..., B // 2 * ci:]
     rows = []
     for dr in range(2):
@@ -464,15 +529,25 @@ def conv4x4s2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
                         ((0, 0), (0, 0), (0, 1), (0, 0)))
     xb = jnp.concatenate([prev_tail, ev, od, next_head], axis=-1)
     # banded kernel: out lane j*Co+o <- xb lane block p=2j+dw, tap k[kh,dw]
-    kbs = []
-    for kh in range(4):
-        kb = jnp.zeros(((2 * B + 2) * ci, B * co), kd.dtype)
-        for j in range(B):
-            for dw in range(4):
-                p = 2 * j + dw
-                kb = kb.at[p * ci:(p + 1) * ci,
-                           j * co:(j + 1) * co].add(kd[kh, dw])
-        kbs.append(kb)
+    if _kbuild_einsum():
+        import numpy as np
+
+        p = np.arange(2 * B + 2)[:, None, None]
+        j = np.arange(B)[None, :, None]
+        d = np.arange(4)[None, None, :]
+        s = jnp.asarray((p == 2 * j + d).astype(np.float32), kd.dtype)
+        kbs = jnp.einsum("pjd,kdio->kpijo", s, kd).reshape(
+            4, (2 * B + 2) * ci, B * co)
+    else:
+        kbs = []
+        for kh in range(4):
+            kb = jnp.zeros(((2 * B + 2) * ci, B * co), kd.dtype)
+            for j in range(B):
+                for dw in range(4):
+                    p = 2 * j + dw
+                    kb = kb.at[p * ci:(p + 1) * ci,
+                               j * co:(j + 1) * co].add(kd[kh, dw])
+            kbs.append(kb)
     y = jnp.zeros((n, h_out, wb // 2, B * co), jnp.float32)
     for kh in range(4):
         rows = xb[:, kh:kh + 2 * h_out:2]

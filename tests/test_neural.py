@@ -183,3 +183,64 @@ def test_gan_empty_patchgan_map_contract():
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_array_equal(np.asarray(dl), 0.0)
     assert np.isfinite(np.asarray(gl)).all()
+
+
+def test_gan_vmap_d_equivalence():
+    """vmap_d batches the D step's two N=1 forwards into one vmapped pass.
+    Same math as the sequential reference form: vmap keeps per-input batch
+    statistics, and the running-average merge reproduces the sequential
+    real-then-fake chaining in closed form (neural.py). One full-path epoch
+    must agree to conv-reassociation noise. (A long-trajectory comparison is
+    deliberately absent: adversarial training is chaotic, so 1e-5 batching
+    noise amplifies arbitrarily — equivalence is a step property.)"""
+    v = _toy_spec(seed=9) * 2.0 - 1.0
+    mask = np.ones_like(v)
+    mask[:, 40:56] = 0.0
+    inp = v * mask + (-1.0) * (1 - mask)
+    out_seq, (dl_s, gl_s) = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=1, scan_chunk=1), key=3)
+    out_vm, (dl_v, gl_v) = gan_train_restore(
+        inp, v, mask, GANTrainConfig(epochs=1, scan_chunk=1, vmap_d=True),
+        key=3)
+    np.testing.assert_allclose(np.asarray(out_vm), np.asarray(out_seq),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dl_v), np.asarray(dl_s), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_v), np.asarray(gl_s), atol=1e-4)
+
+
+def test_gan_vmap_d_running_stats_merge():
+    """The vmap_d running-average merge u_fake + m*(u_real - r0) must equal
+    the sequential real-then-fake chaining m^2*r0 + m*(1-m)*s_real +
+    (1-m)*s_fake exactly — the one state the 1-epoch output test cannot see
+    (the readout never reads D's running stats)."""
+    from audio_inpainting_tpu.methods.neural import _d_model
+
+    cfg = GANTrainConfig()
+    d_model = _d_model(cfg)
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.randn(1, 64, 96, 1), jnp.float32)
+    b = jnp.asarray(rng.randn(1, 64, 96, 1), jnp.float32)
+    dv = d_model.init(jax.random.PRNGKey(2), a, True)
+    dp, r0 = dv["params"], dv["batch_stats"]
+
+    # sequential chaining (the reference's two netD calls)
+    _, u1 = d_model.apply({"params": dp, "batch_stats": r0}, a, True,
+                          mutable=["batch_stats"])
+    _, u2 = d_model.apply(
+        {"params": dp, "batch_stats": u1["batch_stats"]}, b, True,
+        mutable=["batch_stats"])
+    seq = u2["batch_stats"]
+
+    # vmapped pair + closed-form merge (both updates computed from r0)
+    def one(x):
+        _, upd = d_model.apply({"params": dp, "batch_stats": r0}, x, True,
+                               mutable=["batch_stats"])
+        return upd["batch_stats"]
+
+    upds = jax.vmap(one)(jnp.stack([a, b]))
+    merged = jax.tree_util.tree_map(
+        lambda u, r: u[1] + 0.9 * (u[0] - r), upds, r0)
+
+    jax.tree_util.tree_map(
+        lambda m, s: np.testing.assert_allclose(
+            np.asarray(m), np.asarray(s), atol=1e-6), merged, seq)

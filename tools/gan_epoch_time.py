@@ -34,8 +34,9 @@ def main() -> int:
     packed_d = (sys.argv[1] if len(sys.argv) > 1 else "unpacked") == "packed"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     flat = (sys.argv[3] if len(sys.argv) > 3 else "flat") == "flat"
+    vmapd = (sys.argv[4] if len(sys.argv) > 4 else "seq") == "vmapd"
     cfg = GANTrainConfig(bf16=True, scan_chunk=n, packed_d=packed_d,
-                         flat_opt=flat)
+                         flat_opt=flat, vmap_d=vmapd)
     rng = np.random.RandomState(0)
     norm = jnp.asarray(rng.rand(513, 1723) * 2 - 1, jnp.float32)
     inp2d, (f0, t0) = _pad4(norm, value=-1.0)
@@ -61,14 +62,15 @@ def main() -> int:
     tdir = os.path.join(
         TRACE_DIR,
         f"gan_epoch_{dense}_"
-        f"{'pd' if packed_d else 'ud'}_{'fl' if flat else 'pl'}")
+        f"{'pd' if packed_d else 'ud'}_{'fl' if flat else 'pl'}"
+        f"{'_vd' if vmapd else ''}")
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         state, _ = run(state)
     ms = device_ms_from_trace(tdir)
     print(json.dumps({
         "dense": dense,
-        "packed_d": packed_d, "flat_opt": flat, "epochs": n,
+        "packed_d": packed_d, "flat_opt": flat, "vmap_d": vmapd, "epochs": n,
         "ms_per_epoch": round(ms / n, 3),
         "wall_1500_est_s": round(ms / n * 1500 / 1e3, 1)}))
     return 0
