@@ -175,6 +175,10 @@ def make_handler(assets_dir: str):
                 length = int(self.headers.get("Content-Length") or 0)
                 if length <= 0:
                     raise RestoreError(400, "empty body; POST the WAV bytes")
+                if length > 100 * 1024 * 1024:
+                    raise RestoreError(
+                        413, "body over 100 MB; restore files that size "
+                             "with the `serve` CLI instead")
                 body = self.rfile.read(length)
                 wav = restore_wav_bytes(body, **params)
             except RestoreError as e:

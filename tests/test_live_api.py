@@ -155,3 +155,13 @@ def test_gp_rejects_long_uploads(server, tmp_path):
         _post(f"{server}/api/restore?method=gp", p.read_bytes())
     assert e.value.code == 400
     assert "20000" in json.loads(e.value.read())["error"]
+
+
+def test_oversize_body_rejected_413(server):
+    """A Content-Length over 100 MB is refused before reading the body."""
+    req = urllib.request.Request(f"{server}/api/restore?method=linear",
+                                 data=b"x", method="POST",
+                                 headers={"Content-Length": str(200 << 20)})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
