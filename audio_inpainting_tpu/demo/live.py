@@ -53,6 +53,20 @@ METHODS = {
 _FLOAT_PARAMS = {"threshold"}
 _INT_PARAMS = {"seed", "epochs", "order", "train_steps"}
 
+# Inclusive bounds per parameter. The server binds all interfaces and runs
+# one restore at a time under _RESTORE_LOCK, so an unbounded training budget
+# (epochs=2e9) would hold the lock for days and starve every other client —
+# the same reasoning as the gp length guard below. Caps are ~13x the largest
+# reference budget (GAN 1500 epochs, main_gan_gap.py:174), generous for
+# experimentation but bounded; negative values would crash inside lax.scan.
+_PARAM_BOUNDS = {
+    "seed": (0, 2**31 - 1),
+    "epochs": (1, 20000),
+    "train_steps": (1, 20000),
+    "order": (1, 1000),
+    "threshold": (0.0, 1.0),
+}
+
 
 class RestoreError(ValueError):
     """Client error with an HTTP status."""
@@ -81,6 +95,11 @@ def parse_params(query: str) -> dict:
             if isinstance(e, RestoreError):
                 raise
             raise RestoreError(400, f"bad value for {key!r}: {val!r}")
+        if key in _PARAM_BOUNDS:
+            lo, hi = _PARAM_BOUNDS[key]
+            if not lo <= out[key] <= hi:
+                raise RestoreError(
+                    400, f"{key}={out[key]} out of range [{lo}, {hi}]")
     method = out.setdefault("method", "ar")
     if method == "gan":
         raise RestoreError(
@@ -102,8 +121,13 @@ def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:
     from .. import api
     from ..io.wav import load_mono_normalized, save_wav_int16
 
-    # restore()'s facade kwargs: epochs -> the neural configs' field name
+    # restore()'s facade kwargs: epochs -> the diffusion config's field name.
+    # Both spellings at once is ambiguous — fail loudly rather than pick one.
     if method == "diffusion" and "epochs" in params:
+        if "train_steps" in params:
+            raise RestoreError(
+                400, "diffusion takes either epochs or train_steps (aliases "
+                     "for the same budget), not both")
         params["train_steps"] = params.pop("epochs")
 
     with tempfile.TemporaryDirectory() as td:
@@ -129,6 +153,11 @@ def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:
                 restored = api.restore(damaged, sr, method=method, **params)
         except TypeError as e:
             # a whitelisted param the chosen method's config doesn't take
+            # (dataclass __init__ rejects the kwarg before any compute).
+            # Any OTHER TypeError is a server-side bug — let it surface as
+            # the 500 path, not a bogus "your request was wrong".
+            if "unexpected keyword argument" not in str(e):
+                raise
             raise RestoreError(400,
                                f"parameter invalid for method {method!r}: {e}")
         out_path = os.path.join(td, "out.wav")
@@ -165,14 +194,61 @@ def make_handler(assets_dir: str):
                 return
             super().do_GET()
 
+        def _body_length(self) -> int:
+            """Declared body length; header problems are client errors."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                raise RestoreError(
+                    411, "chunked uploads not supported; send the WAV with "
+                         "a Content-Length header")
+            raw = self.headers.get("Content-Length") or "0"
+            try:
+                return int(raw)
+            except ValueError:
+                raise RestoreError(400, f"bad Content-Length: {raw!r}")
+
+        # Drain at most this much leftover body before an error response,
+        # and give up if the client stalls this long mid-drain.
+        _DRAIN_CAP = 256 * 1024 * 1024
+        _DRAIN_TIMEOUT = 5.0
+
+        def _drain(self, unread: int) -> None:
+            """Consume leftover request body before replying with an error.
+
+            Closing the socket with unread bytes in the kernel receive
+            buffer makes Linux send RST, which can discard the queued JSON
+            error on the client side ('Failed to fetch' instead of the
+            actual message). Bounded two ways: past _DRAIN_CAP, or if the
+            client stops sending (a lying Content-Length), stop reading and
+            close after the response instead (best effort)."""
+            if unread <= 0:
+                return
+            if unread > self._DRAIN_CAP:  # pragma: no cover - absurd body
+                self.close_connection = True
+                unread = self._DRAIN_CAP
+            old_timeout = self.connection.gettimeout()
+            self.connection.settimeout(self._DRAIN_TIMEOUT)
+            try:
+                while unread > 0:
+                    chunk = self.rfile.read(min(unread, 1 << 20))
+                    if not chunk:
+                        break
+                    unread -= len(chunk)
+            except OSError:  # stalled or gone; respond anyway, then close
+                self.close_connection = True
+            finally:
+                self.connection.settimeout(old_timeout)
+
         def do_POST(self):
             split = urllib.parse.urlsplit(self.path)
-            if split.path != "/api/restore":
-                self._send_json(404, {"error": f"no POST route {split.path}"})
-                return
+            unread = 0
             try:
+                if split.path != "/api/restore":
+                    raise RestoreError(
+                        404, f"no POST route {split.path}")
                 params = parse_params(split.query)
-                length = int(self.headers.get("Content-Length") or 0)
+                length = self._body_length()
+                unread = max(length, 0)
                 if length <= 0:
                     raise RestoreError(400, "empty body; POST the WAV bytes")
                 if length > 100 * 1024 * 1024:
@@ -180,11 +256,14 @@ def make_handler(assets_dir: str):
                         413, "body over 100 MB; restore files that size "
                              "with the `serve` CLI instead")
                 body = self.rfile.read(length)
+                unread = length - len(body)
                 wav = restore_wav_bytes(body, **params)
             except RestoreError as e:
+                self._drain(unread)
                 self._send_json(e.status, {"error": str(e)})
                 return
             except Exception as e:  # restore-path failure: report, keep serving
+                self._drain(unread)
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self.send_response(200)

@@ -157,6 +157,73 @@ def test_gp_rejects_long_uploads(server, tmp_path):
     assert "20000" in json.loads(e.value.read())["error"]
 
 
+def test_parse_params_bounds():
+    """Whitelisted params are range-checked before any compute: a negative
+    seed or a 2e9-epoch budget must die at parse time, not inside lax.scan
+    (or after holding the restore lock for days)."""
+    for bad in ("seed=-1", "epochs=0", "epochs=20001", "train_steps=0",
+                "order=0", "order=1001", "threshold=1.5", "threshold=-0.1"):
+        with pytest.raises(RestoreError) as e:
+            parse_params(bad)
+        assert "out of range" in str(e.value)
+    # boundary values are accepted
+    assert parse_params("epochs=20000")["epochs"] == 20000
+    assert parse_params("threshold=1.0")["threshold"] == 1.0
+
+
+def test_diffusion_budget_alias_ambiguity():
+    """epochs and train_steps alias the same diffusion budget; sending both
+    is refused rather than silently picking one."""
+    with pytest.raises(RestoreError) as e:
+        restore_wav_bytes(b"\x00" * 64, method="diffusion",
+                          epochs=5, train_steps=5)
+    assert e.value.status == 400 and "not both" in str(e.value)
+
+
+def test_chunked_upload_rejected_411(server):
+    """Chunked transfer-encoding has no Content-Length; the handler replies
+    411 instead of treating the body as empty."""
+    import http.client
+
+    host = server.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        conn.request("POST", "/api/restore?method=linear", body=iter([b"x"]),
+                     headers={"Transfer-Encoding": "chunked"})
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert "chunked" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_bad_content_length_rejected_400(server):
+    import http.client
+
+    host = server.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        conn.putrequest("POST", "/api/restore?method=linear")
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_error_response_reaches_client_with_unread_body(server, tmp_path):
+    """An early 400 (bad params) with a large unsent-yet body: the handler
+    drains before replying so the client gets the JSON error, not a RST."""
+    path, *_ = _damaged_clip(tmp_path)
+    body = open(path, "rb").read() * 64  # ~512 KB, well past socket buffers
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=banana", body)
+    assert e.value.code == 400
+    assert "banana" in json.loads(e.value.read())["error"]
+
+
 def test_oversize_body_rejected_413(server):
     """A Content-Length over 100 MB is refused before reading the body."""
     req = urllib.request.Request(f"{server}/api/restore?method=linear",
