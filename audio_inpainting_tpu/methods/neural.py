@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.packed_unet import PackedGeneratorUNet, PackedSimpleUNet
-from ..models.unet import Discriminator
+from ..models.unet import BN_MOMENTUM, Discriminator
 from ..ops import flatopt
 
 
@@ -369,9 +369,10 @@ def _gan_scan_core(train_state, inp, real, mask, valid, cfg: GANTrainConfig,
                 # sequential-update value anyway: with u_i = m*r0 + (1-m)*s_i
                 # both computed from dbs_in, the reference's real-then-fake
                 # chaining is r2 = m*u_real + (1-m)*s_fake
-                #            = u_fake + m*(u_real - r0),   m = 0.9.
+                #            = u_fake + m*(u_real - r0),  m = BN_MOMENTUM.
                 dbs_out = jax.tree_util.tree_map(
-                    lambda u, r0: u[1] + 0.9 * (u[0] - r0), upds, dbs_in)
+                    lambda u, r0: u[1] + BN_MOMENTUM * (u[0] - r0),
+                    upds, dbs_in)
             else:
                 out_real, upd1 = d_model.apply(
                     {"params": dpar, "batch_stats": dbs_in}, real, True,

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .unet import BN_MOMENTUM
 from ..ops.packedconv import (B, channel_affine_packed, channel_stats_packed,
                               conv1x1_packed, conv3x3_packed_auto,
                               conv3x3_packed2_auto, conv4x4s2_packed_auto,
@@ -60,7 +61,7 @@ class PackedBatchNorm(nn.Module):
     Always reduces in f32 (bf16 stats destabilize the GAN loop)."""
 
     channels: int
-    momentum: float = 0.9
+    momentum: float = BN_MOMENTUM
     epsilon: float = 1e-5
 
     @nn.compact
@@ -266,7 +267,7 @@ class PackedDiscriminator(nn.Module):
         if fast:
             h = PackedBatchNorm(32, name="BatchNorm_0")(h, train)
         else:
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              dtype=jnp.float32,
                              name="BatchNorm_0")(h.astype(jnp.float32))
         h = nn.leaky_relu(h, 0.2)
@@ -274,7 +275,7 @@ class PackedDiscriminator(nn.Module):
         if fast:
             h = PackedBatchNorm(64, name="BatchNorm_1")(h, train)
         else:
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                              dtype=jnp.float32,
                              name="BatchNorm_1")(h.astype(jnp.float32))
         h = nn.leaky_relu(h, 0.2)

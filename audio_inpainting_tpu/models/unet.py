@@ -25,6 +25,12 @@ import jax.numpy as jnp
 
 from ..ops.fastconv import conv3x3_fast
 
+# BatchNorm running-average momentum shared by every BN in the model zoo
+# (SimpleUNet, GeneratorUNet, Discriminator and their packed twins). The
+# vmap_d running-stats merge in methods/neural.py derives its closed form
+# from this value — change it HERE, nowhere else.
+BN_MOMENTUM = 0.9
+
 
 class Conv3x3(nn.Module):
     """3x3 SAME conv backed by ops.fastconv's MXU-friendly custom VJP.
@@ -70,11 +76,11 @@ class BNLeakyConvBlock(nn.Module):
         # BatchNorm always reduces in f32: bf16 batch statistics destabilize
         # the adversarial loop (observed NaN around epoch ~1000)
         x = Conv3x3(self.features, self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.leaky_relu(x, 0.2)
         x = Conv3x3(self.features, self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return nn.leaky_relu(x, 0.2)
 
@@ -148,12 +154,12 @@ class Discriminator(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(32, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.leaky_relu(x, 0.2).astype(dt)
         x = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=dt)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.leaky_relu(x, 0.2)
         return nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID")(

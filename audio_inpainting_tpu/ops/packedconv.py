@@ -100,17 +100,29 @@ def _kbuild_einsum() -> bool:
     return os.environ.get("AIT_KBUILD_EINSUM") == "1"
 
 
+def _onehot_sel(ni: int, nj: int, nd: int, cond, dtype) -> jax.Array:
+    """Constant one-hot selection tensor t[i, j, d] = cond(i, j, d) for the
+    einsum kernel builds. ONE definition shared by the band build, the dk
+    band fold, and the transpose/stride-2 builds, so a fix to the band
+    indexing can never leave forward and backward disagreeing."""
+    import numpy as np
+
+    i = np.arange(ni)[:, None, None]
+    j = np.arange(nj)[None, :, None]
+    d = np.arange(nd)[None, None, :]
+    return jnp.asarray(cond(i, j, d).astype(np.float32), dtype)
+
+
+def _band_sel(dtype) -> jax.Array:
+    """The 3x3 band's selection tensor t[p, j, dw] = (p - j == dw)."""
+    return _onehot_sel(B + 2, B, 3, lambda p, j, d: p - j == d, dtype)
+
+
 def _band_kernel_einsum(k: jax.Array) -> jax.Array:
     """_band_kernel as one einsum: kb[kh, p*Ci+i, j*Co+o] = k[kh, p-j, i, o]
     for 0 <= p-j < 3, built by contracting a constant one-hot T[p, j, dw]."""
-    import numpy as np
-
     _, _, ci, co = k.shape
-    p = np.arange(B + 2)[:, None, None]
-    j = np.arange(B)[None, :, None]
-    d = np.arange(3)[None, None, :]
-    t = jnp.asarray((p - j == d).astype(np.float32), k.dtype)
-    kb = jnp.einsum("pjd,kdio->kpijo", t, k)
+    kb = jnp.einsum("pjd,kdio->kpijo", _band_sel(k.dtype), k)
     return kb.reshape(3, (B + 2) * ci, B * co)
 
 
@@ -180,12 +192,7 @@ def _bwd(res, g):
         # sum_j dkb[kh, (j+dw)*ci+i, j*co+o]. XLA may reassociate the 8-term
         # j-sum (f32 ulp vs the sequential sum below); the builds themselves
         # stay bitwise (one term each).
-        import numpy as np
-
-        p = np.arange(B + 2)[:, None, None]
-        j = np.arange(B)[None, :, None]
-        d = np.arange(3)[None, None, :]
-        t = jnp.asarray((p - j == d).astype(np.float32), jnp.float32)
+        t = _band_sel(jnp.float32)
         dks = []
         for kh in range(3):
             xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
@@ -473,12 +480,8 @@ def conv_transpose2x2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     # (B/2*Ci, B*Co) for one row tap dr: out lane (2u+dc)*Co+o <- in lane
     # u*Ci+i with weight k[dr, dc, i, o]
     if _kbuild_einsum():
-        import numpy as np
-
-        u = np.arange(B // 2)[:, None, None]
-        m = np.arange(B)[None, :, None]
-        d = np.arange(2)[None, None, :]
-        s = jnp.asarray((m == 2 * u + d).astype(np.float32), kd.dtype)
+        s = _onehot_sel(B // 2, B, 2, lambda u, m, d: m == 2 * u + d,
+                        kd.dtype)
         kups = jnp.einsum("umd,rdio->ruimo", s, kd).reshape(
             2, B // 2 * ci, B * co)
     else:
@@ -530,12 +533,8 @@ def conv4x4s2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     xb = jnp.concatenate([prev_tail, ev, od, next_head], axis=-1)
     # banded kernel: out lane j*Co+o <- xb lane block p=2j+dw, tap k[kh,dw]
     if _kbuild_einsum():
-        import numpy as np
-
-        p = np.arange(2 * B + 2)[:, None, None]
-        j = np.arange(B)[None, :, None]
-        d = np.arange(4)[None, None, :]
-        s = jnp.asarray((p == 2 * j + d).astype(np.float32), kd.dtype)
+        s = _onehot_sel(2 * B + 2, B, 4, lambda p, j, d: p == 2 * j + d,
+                        kd.dtype)
         kbs = jnp.einsum("pjd,kdio->kpijo", s, kd).reshape(
             4, (2 * B + 2) * ci, B * co)
     else:

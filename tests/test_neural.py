@@ -238,8 +238,9 @@ def test_gan_vmap_d_running_stats_merge():
         return upd["batch_stats"]
 
     upds = jax.vmap(one)(jnp.stack([a, b]))
+    from audio_inpainting_tpu.models.unet import BN_MOMENTUM
     merged = jax.tree_util.tree_map(
-        lambda u, r: u[1] + 0.9 * (u[0] - r), upds, r0)
+        lambda u, r: u[1] + BN_MOMENTUM * (u[0] - r), upds, r0)
 
     jax.tree_util.tree_map(
         lambda m, s: np.testing.assert_allclose(
