@@ -59,6 +59,19 @@ def read_wav(path: str) -> tuple[int, np.ndarray]:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _block_align, bits = fmt
 
+    if audio_format == _WAVE_FORMAT_PCM and bits == 24:
+        # scipy.io.wavfile semantics: 24-bit samples land in the HIGH three
+        # bytes of an int32 (value << 8), so downstream normalization code
+        # sees the int32 full-scale range.
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+        arr = np.zeros(len(b), dtype=np.int32)
+        arr.view(np.uint8).reshape(-1, 4)[:, 1:] = b  # little-endian
+        if n_channels > 1:
+            arr = arr[: (len(arr) // n_channels) * n_channels]
+            arr = arr.reshape(-1, n_channels)
+        return sample_rate, arr
+
     if audio_format == _WAVE_FORMAT_PCM:
         dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
         if dtype is None:

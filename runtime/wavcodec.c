@@ -87,7 +87,7 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
         return PyErr_Format(PyExc_ValueError, "%s: %s", path, err);
     }
 
-    if (w.bits != 8 && w.bits != 16 && w.bits != 32) {
+    if (w.bits != 8 && w.bits != 16 && w.bits != 24 && w.bits != 32) {
         /* reject before bytes_per to avoid a divide-by-zero SIGFPE on
          * malformed fmt chunks declaring bits_per_sample < 8 */
         int bits = w.bits, format = w.audio_format;
@@ -125,6 +125,22 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
         for (size_t i = 0; i < n_frames; i++) {
             double acc = 0.0;
             for (int c = 0; c < ch; c++) acc += s[i * ch + c];
+            mono[i] = (float)(acc / ch);
+        }
+    } else if (w.audio_format == 1 && w.bits == 24) {
+        /* 24-bit PCM: assemble little-endian triples into int32 << 8 (the
+         * scipy/io-wav.py convention: sample in the HIGH three bytes), so
+         * this path is bit-identical to the numpy fallback after the
+         * normalize below. */
+        for (size_t i = 0; i < n_frames; i++) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; c++) {
+                const unsigned char *p = d + 3 * (i * ch + c);
+                int32_t v = (int32_t)((uint32_t)p[0] << 8 |
+                                      (uint32_t)p[1] << 16 |
+                                      (uint32_t)p[2] << 24);
+                acc += v;
+            }
             mono[i] = (float)(acc / ch);
         }
     } else if (w.audio_format == 1 && w.bits == 32) {

@@ -45,6 +45,53 @@ def test_float32_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, data)
 
 
+def write_pcm24(path, sr, vals, n_channels=1):
+    """Hand-pack a 24-bit PCM RIFF file (scipy can read but not write 24-bit).
+
+    ``vals`` are int 24-bit sample values in [-2^23, 2^23), interleaved if
+    multi-channel.
+    """
+    import struct
+
+    body = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels, sr,
+                                      sr * n_channels * 3, n_channels * 3, 24))
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+        if len(body) & 1:
+            f.write(b"\x00")
+
+
+def test_pcm24_matches_scipy(tmp_path):
+    """24-bit PCM reads as int32 << 8, bit-identical to scipy.io.wavfile."""
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-(1 << 23), 1 << 23, size=3000)
+    p = str(tmp_path / "p24.wav")
+    write_pcm24(p, 48000, vals)
+    sr, ours = read_wav(p)
+    sr2, theirs = wavfile.read(p)
+    assert sr == sr2 == 48000 and ours.dtype == np.int32
+    np.testing.assert_array_equal(ours, theirs)
+    np.testing.assert_array_equal(ours, vals.astype(np.int32) << 8)
+
+
+def test_pcm24_stereo_load_mono_normalized(tmp_path):
+    """Stereo 24-bit through the canonical load chain (native or numpy)."""
+    rng = np.random.RandomState(8)
+    vals = rng.randint(-(1 << 23), 1 << 23, size=4000)  # 2000 stereo frames
+    p = str(tmp_path / "s24.wav")
+    write_pcm24(p, 44100, vals, n_channels=2)
+    sr, x = load_mono_normalized(p)
+    frames = (vals.astype(np.int64) << 8).reshape(-1, 2)
+    expected = frames.mean(axis=1)
+    expected = (expected / np.max(np.abs(expected))).astype(np.float32)
+    assert sr == 44100 and x.dtype == np.float32
+    np.testing.assert_allclose(x, expected, rtol=1e-6, atol=1e-7)
+
+
 def test_load_mono_normalized_matches_reference_convention(tmp_path):
     # reference: data.mean(axis=1); data / max|data| (main2_AR.py:41-43)
     rng = np.random.RandomState(4)

@@ -53,6 +53,24 @@ def test_native_uint8_matches_numpy(tmp_path):
 
 
 @needs_native
+def test_native_pcm24_matches_numpy(tmp_path):
+    """24-bit PCM: the C path assembles int32 << 8 like the numpy path;
+    outputs agree to the normalize step's reciprocal-vs-division ulp."""
+    from test_io import write_pcm24
+
+    rng = np.random.RandomState(2)
+    vals = rng.randint(-(1 << 23), 1 << 23, size=6000)  # 3000 stereo frames
+    p = str(tmp_path / "n24.wav")
+    write_pcm24(p, 44100, vals, n_channels=2)
+    sr_n, a = W._NATIVE.load_mono_normalized(p)
+    a = np.frombuffer(a, dtype=np.float32)
+    sr_p, data = W.read_wav(p)
+    b = W.peak_normalize(W.to_float_mono(data))
+    assert sr_n == sr_p == 44100
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@needs_native
 def test_native_rejects_zero_bits(tmp_path):
     # A malformed fmt chunk declaring bits_per_sample=0 must raise
     # ValueError, not SIGFPE the process (integer division by zero).
