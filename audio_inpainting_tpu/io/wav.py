@@ -44,10 +44,13 @@ def read_wav(path: str) -> tuple[int, np.ndarray]:
         chunk_id = raw[pos : pos + 4]
         (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + chunk_size]
-        if chunk_id == b"fmt ":
+        if chunk_id == b"fmt " and len(body) >= 16:
+            # length-check against the TRUNCATED body (not the declared
+            # chunk_size) so a cut-short file raises ValueError below, not
+            # struct.error here — the native parser clamps the same way
             (audio_format, n_channels, sample_rate, _byte_rate, block_align,
              bits_per_sample) = struct.unpack_from("<HHIIHH", body, 0)
-            if audio_format == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
+            if audio_format == _WAVE_FORMAT_EXTENSIBLE and len(body) >= 26:
                 # True format lives in the first 2 bytes of the SubFormat GUID.
                 (audio_format,) = struct.unpack_from("<H", body, 24)
             fmt = (audio_format, n_channels, sample_rate, block_align, bits_per_sample)

@@ -1,6 +1,7 @@
 """WAV codec oracles vs scipy.io.wavfile + the reference's normalization chain."""
 
 import numpy as np
+import pytest
 
 from audio_inpainting_tpu.io import (
     read_wav,
@@ -90,6 +91,21 @@ def test_pcm24_stereo_load_mono_normalized(tmp_path):
     expected = (expected / np.max(np.abs(expected))).astype(np.float32)
     assert sr == 44100 and x.dtype == np.float32
     np.testing.assert_allclose(x, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_truncated_fmt_chunk_raises_valueerror(tmp_path):
+    """A file cut off mid-fmt must raise ValueError (the API's 400 path and
+    library callers' except clause), never a bare struct.error."""
+    import struct
+
+    p = str(tmp_path / "trunc.wav")
+    data = (np.arange(100) * 100).astype(np.int16)
+    write_wav(p, 8000, data)
+    raw = open(p, "rb").read()
+    # keep the RIFF header + 'fmt ' id/size but only 6 of its 16 body bytes
+    open(p, "wb").write(raw[: 12 + 8 + 6])
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        read_wav(p)
 
 
 def test_load_mono_normalized_matches_reference_convention(tmp_path):
