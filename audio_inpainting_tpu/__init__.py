@@ -23,5 +23,6 @@ Layering (SURVEY.md §1, made explicit):
 __version__ = "0.1.0"
 
 from .api import restore  # noqa: E402  (uniform L3 contract)
+from .methods.windowed import restore_windowed  # noqa: E402
 
-__all__ = ["restore"]
+__all__ = ["restore", "restore_windowed"]

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--original", default=None,
                     help="clean reference WAV (GAN method only)")
+    pr.add_argument("--window-s", type=float, default=None,
+                    help="windowed long-clip mode: restore only fixed "
+                         "windows of this many seconds around the detected "
+                         "damage (O(damage) work, one compiled program per "
+                         "window size; clean audio passes through exactly)")
 
     ps = sub.add_parser("serve", help="batch-restore a directory of WAVs "
                                       "(per-clip nets, clips over dp mesh)")
@@ -154,9 +159,17 @@ def main(argv=None) -> int:
         original = None
         if args.original:
             _, original = load_mono_normalized(args.original)
-        out = api_restore(damaged, sr, method=args.method,
-                          threshold=args.threshold, seed=args.seed,
-                          original=original)
+        if args.window_s is not None:
+            from ..methods.windowed import restore_windowed
+
+            out = restore_windowed(damaged, sr, method=args.method,
+                                   window_s=args.window_s,
+                                   threshold=args.threshold, seed=args.seed,
+                                   original=original)
+        else:
+            out = api_restore(damaged, sr, method=args.method,
+                              threshold=args.threshold, seed=args.seed,
+                              original=original)
         save_wav_int16(out, sr, args.output_wav)
         print(f"restored {args.input_wav} -> {args.output_wav} "
               f"({args.method}, {time.time() - t_start:.1f}s)")

@@ -50,7 +50,7 @@ METHODS = {
 
 # Query parameters forwarded into restore(); everything else is rejected so
 # typos fail loudly instead of silently running defaults.
-_FLOAT_PARAMS = {"threshold"}
+_FLOAT_PARAMS = {"threshold", "window_s"}
 _INT_PARAMS = {"seed", "epochs", "order", "train_steps"}
 
 # Inclusive bounds per parameter. The server binds all interfaces and runs
@@ -65,6 +65,9 @@ _PARAM_BOUNDS = {
     "train_steps": (1, 20000),
     "order": (1, 1000),
     "threshold": (0.0, 1.0),
+    # windowed mode: restore fixed windows around the damage only (long
+    # files); 60 s windows already exceed anything the methods were tuned on
+    "window_s": (0.05, 60.0),
 }
 
 
@@ -140,17 +143,27 @@ def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:
             raise RestoreError(400, f"body is not a decodable WAV: {e}")
         if len(damaged) == 0:
             raise RestoreError(400, "WAV decodes to zero samples")
-        if method == "gp" and len(damaged) > 20000:
+        window_s = params.pop("window_s", None)
+        gp_extent = (len(damaged) if window_s is None
+                     else min(len(damaged), int(window_s * sr)))
+        if method == "gp" and gp_extent > 20000:
             # GP posterior is O(n^3); the reference confines it to 0.05 s
             # windows (main1_gp.py:46-49). A full-length upload would hold
-            # the restore lock for hours.
+            # the restore lock for hours. window_s bounds the fit instead.
             raise RestoreError(
-                400, f"gp accepts clips up to 20000 samples (got "
-                     f"{len(damaged)}); the reference restricts GP to "
-                     "~0.05 s segments — crop first or pick another method")
+                400, f"gp works on up to 20000 samples (got {gp_extent}); "
+                     "crop first, pick another method, or pass a window_s "
+                     "under 20000/sr to restore around the damage only")
         try:
             with _RESTORE_LOCK:
-                restored = api.restore(damaged, sr, method=method, **params)
+                if window_s is not None:
+                    from ..methods.windowed import restore_windowed
+
+                    restored = restore_windowed(damaged, sr, method=method,
+                                                window_s=window_s, **params)
+                else:
+                    restored = api.restore(damaged, sr, method=method,
+                                           **params)
         except TypeError as e:
             # a whitelisted param the chosen method's config doesn't take
             # (dataclass __init__ rejects the kwarg before any compute).

@@ -1,5 +1,6 @@
 from .linear import linear_interp_masked, linear_fill_gap
 from .ar import ARConfig, ar_restore_gap, ar_restore_gaps
+from .windowed import restore_windowed
 
 __all__ = [
     "linear_interp_masked",
@@ -7,4 +8,5 @@ __all__ = [
     "ARConfig",
     "ar_restore_gap",
     "ar_restore_gaps",
+    "restore_windowed",
 ]

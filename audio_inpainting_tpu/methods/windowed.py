@@ -1,0 +1,162 @@
+"""Windowed long-clip restoration: O(damage) work on arbitrarily long files.
+
+The reference operates on one fixed 10 s clip, and every spectral method
+builds a program sized to the WHOLE input (the U-Net trains on the full
+513x1723 spectrogram, reference main5_UNet_mask.py:77-98). On TPU that
+design breaks twice for long inputs: memory scales with the clip, and every
+new length is a new XLA compile (dynamic shapes defeat the compile-once
+model). This module restores only fixed-size windows around the detected
+damage instead:
+
+- damage detection runs once over the full signal (cheap threshold scan);
+- nearby gaps are grouped so each group gets ONE window of a static size —
+  the base window, or power-of-two multiples for oversized groups — so XLA
+  compiles log-many programs total, reused across windows and calls;
+- clean audio passes through bit-identical; restored samples are composited
+  back over the gaps with the reference's boundary-crossfade idiom
+  (reference main4_NMF.py:114-126, 50-sample linear blend).
+
+This also makes GP practical on long files (the window bounds its O(n^3)
+fit, the reference's own trick of confining GP to 0.05 s segments,
+main1_gp.py:46-49) and keeps per-window seeds deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _merge_close(gaps: list[tuple[int, int]], min_sep: int) -> list[tuple[int, int]]:
+    """Merge gaps separated by < min_sep samples into one span, so two
+    windows never crossfade into each other's composite region."""
+    if not gaps:
+        return []
+    gaps = sorted(gaps)
+    out = [list(gaps[0])]
+    for s, e in gaps[1:]:
+        if s - out[-1][1] < min_sep:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]
+
+
+def plan_windows(gaps: list[tuple[int, int]], n: int, window: int,
+                 context: int) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """Group gaps into static-size restore windows.
+
+    Returns [(w0, size, group_gaps)] with every gap inside
+    [w0 + context, w0 + size - context] where possible (file edges excepted).
+    ``size`` is ``window`` or a power-of-two multiple of it (an oversized
+    group doubles until its span + 2*context fits), so the set of distinct
+    compiled shapes stays logarithmic.
+    """
+    if not gaps:
+        return []
+    gaps = sorted(gaps)
+    groups: list[list[tuple[int, int]]] = [[gaps[0]]]
+    for g in gaps[1:]:
+        span0 = groups[-1][0][0]
+        if g[1] - span0 + 2 * context <= window:
+            groups[-1].append(g)
+        else:
+            groups.append([g])
+
+    plan = []
+    for group in groups:
+        s0, e1 = group[0][0], group[-1][1]
+        size = window
+        while e1 - s0 + 2 * context > size and size < (n + window):
+            size *= 2
+        # center the span; clamp into the file (short files keep w0 = 0 and
+        # the caller pads the extraction up to ``size``)
+        w0 = s0 - (size - (e1 - s0)) // 2
+        w0 = max(0, min(w0, max(0, n - size)))
+        plan.append((w0, size, group))
+    return plan
+
+
+def restore_windowed(damaged, sr: int, method: str = "ar", *,
+                     window_s: float = 10.0, context: int = 5000,
+                     margin: int = 50, threshold: float = 1e-4,
+                     gaps=None, seed: int = 0, original=None,
+                     **cfg_kwargs) -> np.ndarray:
+    """Restore a long mono signal by windowing `api.restore` over the damage.
+
+    Clean samples outside gap +- ``margin`` are returned bit-identical;
+    each detected gap is filled from a ``window_s``-second window around it
+    (one static compiled program per distinct window size) and composited
+    back with ``margin``-sample linear crossfades at the gap boundaries
+    (the reference's blend idiom, main4_NMF.py:114-126).
+
+    gaps: optional [(start, end)] damaged spans; blind-detected otherwise.
+    original: clean reference signal (GAN only), windowed alongside.
+    Remaining kwargs flow to the method config via `api.restore` — note the
+    facade's AR defaults (order=30, context_len=1000) target the reference's
+    50-400-sample dropouts; for gaps beyond ~1000 samples pass the part-2
+    scale (order=100, context_len=5000) or use a spectral method. AR texture
+    fills are energy-matched, not waveform-exact (reference
+    main3_AR_text.py:58-82), so judge them by listening/local-SNR, not MSE.
+    """
+    from .. import api
+    from ..corrupt import find_gaps
+
+    damaged = np.asarray(damaged, np.float32)
+    n = len(damaged)
+    window = max(int(round(window_s * sr)), 256)
+    if gaps is None:
+        gaps = find_gaps(damaged, threshold=max(threshold, 0.01), min_len=100)
+    gaps = _merge_close([(int(s), int(e)) for s, e in gaps
+                         if 0 <= s < e <= n], 2 * margin)
+    out = damaged.copy()
+    if not gaps:
+        return out
+
+    ctx = max(min(context, window // 8), 1)
+    orig = None if original is None else np.asarray(original, np.float32)[:n]
+
+    for w0, size, group in plan_windows(gaps, n, window, ctx):
+        hi = min(w0 + size, n)
+        sub = damaged[w0:hi]
+        sub_orig = None if orig is None else orig[w0:hi]
+        if hi - w0 < size:
+            # reflect-pad: the tail stays at natural signal amplitude so the
+            # methods' silence detectors don't mistake padding for damage
+            pad = size - (hi - w0)
+            sub = np.pad(sub, (0, pad), mode="reflect")
+            if sub_orig is not None:
+                sub_orig = np.pad(sub_orig, (0, pad), mode="reflect")
+        # the method must know about EVERY gap inside the window — including
+        # a neighboring group's — or it would fit/train on that gap's
+        # silence as if it were signal (the reference's fit-on-zeros defect,
+        # main3_AR_text_gap.py:34-49 detecting the whole file). Composite
+        # back only THIS group's gaps; the neighbor's window owns the rest.
+        local = [(max(s, w0) - w0, min(e, w0 + size) - w0)
+                 for s, e in gaps if s < w0 + size and e > w0]
+        mask = np.ones(size, bool)
+        for s, e in local:
+            mask[s:e] = False
+        restored = np.asarray(api.restore(
+            sub, sr, method=method, gaps=local, mask=mask,
+            threshold=threshold, seed=seed, original=sub_orig, **cfg_kwargs),
+            np.float32)
+
+        # composite weight over the window: 1 inside each of the group's
+        # gaps, linear ramps of up to ``margin`` samples just outside, 0
+        # elsewhere
+        w = np.zeros(size, np.float32)
+        for s, e in [(s - w0, e - w0) for s, e in group]:
+            lo_r = max(s - margin, 0)
+            hi_r = min(e + margin, size)
+            if lo_r < s:
+                w[lo_r:s] = np.maximum(w[lo_r:s],
+                                       np.linspace(0.0, 1.0, s - lo_r,
+                                                   endpoint=False))
+            w[s:e] = 1.0
+            if e < hi_r:
+                w[e:hi_r] = np.maximum(w[e:hi_r],
+                                       np.linspace(1.0, 0.0, hi_r - e,
+                                                   endpoint=False))
+        m = hi - w0
+        out[w0:hi] = (1.0 - w[:m]) * out[w0:hi] + w[:m] * restored[:m]
+    return out

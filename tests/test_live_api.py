@@ -144,6 +144,43 @@ def test_static_gallery_includes_live_panel():
         assert f"value='{m}'" in h
 
 
+def test_windowed_restore_via_api(server, tmp_path):
+    """window_s routes to the windowed long-clip path: clean samples pass
+    through, the hole is filled from a window around it."""
+    path, clean, dmg, sr, gap = _damaged_clip(tmp_path)
+    with open(path, "rb") as f:
+        body = f.read()
+    resp = _post(
+        f"{server}/api/restore?method=linear&window_s=0.2&threshold=0.01",
+        body)
+    assert resp.status == 200
+    sr2, data = read_wav_bytes(resp.read(), tmp_path)
+    x = data.astype(np.float32) / 32767.0
+    g = slice(*gap)
+    assert np.abs(x[g]).max() > 0.01
+    _, dmg_n = load_mono_normalized(path)
+    assert (np.mean((x[g] - clean[g]) ** 2)
+            < np.mean((dmg_n[g] - clean[g]) ** 2))
+
+
+def test_gp_long_upload_allowed_with_window(server, tmp_path):
+    """The GP O(n^3) guard moves to the WINDOW size when window_s is given:
+    a long upload restores fine windowed, still refused un-windowed."""
+    sr, n = 8000, 30_000
+    t = np.arange(n)
+    x = (0.6 * np.sin(2 * np.pi * 1.5 * t / sr)).astype(np.float32)
+    x[12_000:12_150] = 0.0
+    p = tmp_path / "long_gp.wav"
+    save_wav_int16(x, sr, str(p))
+    resp = _post(f"{server}/api/restore?method=gp&window_s=0.15", p.read_bytes())
+    assert resp.status == 200
+    # a window_s that still exceeds 20000 samples is refused with the hint
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=gp&window_s=3.0", p.read_bytes())
+    assert e.value.code == 400
+    assert "window_s" in json.loads(e.value.read())["error"]
+
+
 def test_gp_rejects_long_uploads(server, tmp_path):
     """GP is O(n^3) — a full-length upload would hold the restore lock for
     hours; the API refuses over 20k samples with a 400."""
