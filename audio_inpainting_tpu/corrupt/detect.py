@@ -29,7 +29,7 @@ def find_main_gap(signal: np.ndarray, threshold: float = 1e-4) -> tuple[int, int
 
     Matches reference main3_AR_text_gap.py:34-49 (returns None if no gap).
     """
-    is_gap = np.asarray(jax.device_get(silence_mask(jnp.asarray(signal), threshold)))
+    is_gap = np.abs(np.asarray(signal)) < threshold  # host scan, as find_gaps
     idx = np.flatnonzero(is_gap)
     if idx.size == 0:
         return None
@@ -44,7 +44,11 @@ def find_gaps(signal: np.ndarray, threshold: float = 0.01,
     Matches reference main3_AR_text_mask.py:30-52 (diff-based starts/ends
     with boundary handling, >100-sample filter).
     """
-    is_gap = np.asarray(jax.device_get(silence_mask(jnp.asarray(signal), threshold))).astype(np.int8)
+    # host numpy, not the jitted silence_mask: detection runs over
+    # variable-length host signals (each new length would be a fresh XLA
+    # compile + device round-trip for one elementwise compare) — windowed
+    # long-file restore depends on this staying O(n) on the host
+    is_gap = (np.abs(np.asarray(signal)) < threshold).astype(np.int8)
     diff = np.diff(is_gap)
     starts = np.flatnonzero(diff == 1) + 1
     ends = np.flatnonzero(diff == -1) + 1
