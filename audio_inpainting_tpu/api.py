@@ -88,6 +88,7 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         return np.asarray(istft(polar(out_mag, phase), scfg, n))
 
     if method == "unet":
+        from .corrupt import training_stripes
         from .methods.neural import UNetTrainConfig, unet_train_restore
 
         mag_max = jnp.max(mag)
@@ -98,8 +99,20 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
                                  threshold=max(threshold, 0.01),
                                  silent_fraction=0.8)] = True
         keep = jnp.broadcast_to(jnp.asarray(~bad, jnp.float32)[None, :], mag.shape)
-        final, _, _ = unet_train_restore(mag_norm, keep,
-                                         UNetTrainConfig(**cfg_kwargs), key=seed)
+        # Self-supervised on BLIND damage: train on synthetic stripes hidden
+        # over the intact columns and keep the real holes OUT of the loss —
+        # their targets ARE the damaged (silent) columns, so the reference's
+        # masked-loss formula (main5_UNet_mask.py:169, synthetic mask + an
+        # intact target) would otherwise teach the net to fill holes with
+        # silence. Composite over the real damage. Same scheme as the
+        # batched serving layer (pipelines/serve.py).
+        syn = training_stripes(jax.random.PRNGKey(seed), mag.shape[1], ~bad)
+        train_mask = keep * jnp.broadcast_to(
+            jnp.asarray(syn, jnp.float32)[None, :], mag.shape)
+        final, _, _ = unet_train_restore(mag_norm, train_mask,
+                                         UNetTrainConfig(**cfg_kwargs),
+                                         key=seed, valid=keep,
+                                         composite_mask=keep)
         return np.asarray(istft(polar(jnp.asarray(final) * mag_max, phase),
                                 scfg, n))
 

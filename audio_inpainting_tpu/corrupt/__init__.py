@@ -4,6 +4,7 @@ from .masks import (
     center_gap_bounds,
     random_frame_mask,
     frame_gap_mask_2d,
+    training_stripes,
 )
 from .detect import (
     silence_mask,
@@ -18,6 +19,7 @@ __all__ = [
     "center_gap_bounds",
     "random_frame_mask",
     "frame_gap_mask_2d",
+    "training_stripes",
     "silence_mask",
     "find_main_gap",
     "find_gaps",

@@ -85,6 +85,42 @@ def random_frame_mask(key: jax.Array, n_freq: int, n_frames: int,
     return jnp.broadcast_to((~lost_cols).astype(jnp.float32)[None, :], (n_freq, n_frames))
 
 
+def training_stripes(key: jax.Array, n_frames: int, intact) -> "np.ndarray":
+    """Per-clip synthetic stripe keep-row (1 = keep) for SELF-SUPERVISED
+    U-Net training on a blindly-damaged clip.
+
+    Training directly against the detected-damage mask would teach the net
+    that holes contain silence — the loss targets there ARE the damaged
+    columns. Instead, hide synthetic stripes over the clip's INTACT columns
+    (reference main5_UNet_mask.py:111-127 semantics: learn to fill columns
+    from context) and keep the real damage out of the loss entirely.
+
+    Widths clamp for short clips with at least one stripe (the reference
+    stripe-count formula truncates to 0 under ~50 frames); resamples up to
+    8 times if every stripe landed on already-damaged columns, so the clip
+    gets >= 1 trainable cell (intact AND synthetically hidden) whenever one
+    exists. Shared by the serving layer, the blind `api.restore` U-Net
+    branch, and the windowed batch path.
+    """
+    import numpy as np
+
+    if n_frames < 4:                # too short for stripes: hide one column
+        m = np.ones(n_frames, np.float32)
+        m[n_frames // 2] = 0.0
+        return m
+    mt = min(30, max(2, n_frames // 2))      # stripe width in [mn, mt)
+    mn = max(1, min(5, mt - 1))
+    intact = np.asarray(intact, bool)
+    m = None
+    for attempt in range(8):
+        m = np.asarray(random_frame_mask(
+            jax.random.fold_in(key, attempt), 1, n_frames,
+            min_time_mask=mn, max_time_mask=mt, min_segments=1))[0]
+        if ((m == 0) & intact).any() or not intact.any():
+            break
+    return m
+
+
 def frame_gap_mask_2d(n_freq: int, n_frames: int, start_frac: float = 0.4,
                       end_frac: float = 0.6) -> jax.Array:
     """Deterministic 2D STFT gap over frames [40%, 60%) (reference

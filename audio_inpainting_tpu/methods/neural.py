@@ -235,11 +235,21 @@ def _unet_train_chunk(params, opt_state, inp, tgt, mask, valid,
 
 
 def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
-                       key: jax.Array | int = 0):
+                       key: jax.Array | int = 0, valid=None,
+                       composite_mask=None):
     """Train SimpleUNet on one clip's normalized magnitude and composite.
 
     mag_norm, mask: (F, T); mask 1 = kept. Returns (final_mag_norm (F, T),
     prediction (F, T), loss history).
+
+    valid (optional (F, T), 1 = real content): cells whose target may enter
+    the loss, multiplied into the pad-extent mask. For BLIND damage the
+    caller passes the detected-keep mask here — the real holes have no
+    target (their cells ARE the damage), so they must stay out of the loss
+    while synthetic training stripes (in ``mask``) carry the learning
+    signal. composite_mask (optional (F, T)): the mask for the final
+    input + pred*(1-mask) composite when it differs from the TRAINING
+    mask — same contract as parallel/batch.restore_clips_unet.
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
@@ -250,7 +260,10 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
     inp = _nhwc(tgt2d * msk2d)
     tgt = _nhwc(tgt2d)
     msk = _nhwc(msk2d)
-    vld = _nhwc(_valid4(f0, t0))
+    vld2d = _valid4(f0, t0)
+    if valid is not None:
+        vld2d = vld2d * _pad4(jnp.asarray(valid, jnp.float32))[0]
+    vld = _nhwc(vld2d)
 
     model = PackedSimpleUNet(dtype=_dtype(cfg))
     params = _jit_init(model, key, inp)["params"]
@@ -265,9 +278,16 @@ def unet_train_restore(mag_norm, mask, cfg: UNetTrainConfig = UNetTrainConfig(),
         losses.append(ls)
         done += n
 
-    pred = _jit_apply(model, params, inp)[0, :, :, 0]
-    input_mag = tgt2d * msk2d
-    final = input_mag + pred * (1.0 - msk2d)       # composite (reference :182)
+    cmsk2d = (msk2d if composite_mask is None
+              else _pad4(jnp.asarray(composite_mask, jnp.float32),
+                         value=1.0)[0])
+    # eval on the composite-masked input: only REAL damage hidden, synthetic
+    # training stripes visible again as context (matches the batched
+    # serving path, parallel/batch.restore_clips_unet)
+    eval_inp = inp if composite_mask is None else _nhwc(tgt2d * cmsk2d)
+    pred = _jit_apply(model, params, eval_inp)[0, :, :, 0]
+    input_mag = tgt2d * cmsk2d
+    final = input_mag + pred * (1.0 - cmsk2d)      # composite (reference :182)
     return final[:f0, :t0], pred[:f0, :t0], jnp.concatenate(losses)
 
 

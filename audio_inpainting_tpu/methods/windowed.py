@@ -80,6 +80,7 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
                      window_s: float = 10.0, context: int = 5000,
                      margin: int = 50, threshold: float = 1e-4,
                      gaps=None, seed: int = 0, original=None,
+                     batch_windows: bool = False, mesh=None,
                      **cfg_kwargs) -> np.ndarray:
     """Restore a long mono signal by windowing `api.restore` over the damage.
 
@@ -97,6 +98,13 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     scale (order=100, context_len=5000) or use a spectral method. AR texture
     fills are energy-matched, not waveform-exact (reference
     main3_AR_text.py:58-82), so judge them by listening/local-SNR, not MSE.
+
+    batch_windows (method="unet" only): restore all same-size windows as
+    ONE dp-mesh batch (parallel/batch.py — one independent per-window net,
+    windows sharded over ``mesh``; default 1-device mesh). Every window
+    keeps the sequential path's PRNGKey(seed), so batched == per-window up
+    to program-structure f32 ulp (pinned at 1e-5 in tests, like
+    tests/test_batch_restore.py's batch-vs-single pin).
     """
     from .. import api
     from ..corrupt import find_gaps
@@ -115,6 +123,7 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     ctx = max(min(context, window // 8), 1)
     orig = None if original is None else np.asarray(original, np.float32)[:n]
 
+    prepped = []
     for w0, size, group in plan_windows(gaps, n, window, ctx):
         hi = min(w0 + size, n)
         sub = damaged[w0:hi]
@@ -136,11 +145,20 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
         mask = np.ones(size, bool)
         for s, e in local:
             mask[s:e] = False
-        restored = np.asarray(api.restore(
+        prepped.append((w0, size, group, hi, sub, sub_orig, local, mask))
+
+    if batch_windows and method == "unet" and len(prepped) > 1:
+        restored_all = _restore_windows_unet_batched(
+            prepped, sr, threshold=threshold, seed=seed, mesh=mesh,
+            **cfg_kwargs)
+    else:
+        restored_all = [np.asarray(api.restore(
             sub, sr, method=method, gaps=local, mask=mask,
             threshold=threshold, seed=seed, original=sub_orig, **cfg_kwargs),
             np.float32)
+            for (_, _, _, _, sub, sub_orig, local, mask) in prepped]
 
+    for (w0, size, group, hi, *_), restored in zip(prepped, restored_all):
         # composite weight over the window: 1 inside each of the group's
         # gaps, linear ramps of up to ``margin`` samples just outside, 0
         # elsewhere
@@ -160,3 +178,76 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
         m = hi - w0
         out[w0:hi] = (1.0 - w[:m]) * out[w0:hi] + w[:m] * restored[:m]
     return out
+
+
+def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,
+                                  seed: int, mesh=None, **cfg_kwargs):
+    """Batch the U-Net over same-size windows via parallel/batch.py.
+
+    Replicates `api.restore`'s unet branch preprocessing per window (same
+    max-normalization, silent-column keep mask, and PRNGKey(seed)), stacks
+    each size class into one `restore_clips_unet` call (padded with repeats
+    up to the mesh divisor), and iSTFTs back per window. Returns the
+    restored windows in `prepped` order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..corrupt import silent_frame_columns, training_stripes
+    from ..methods.neural import UNetTrainConfig
+    from ..ops import istft, stft, torch_stft_config
+    from ..ops.stft import magphase, polar
+    from ..parallel.batch import restore_clips_unet
+
+    scfg = torch_stft_config(1024, 256)
+    by_size: dict[int, list[int]] = {}
+    for i, (_, size, *_rest) in enumerate(prepped):
+        by_size.setdefault(size, []).append(i)
+
+    results: list = [None] * len(prepped)
+    for size, idxs in by_size.items():
+        mags, phases, maxes, keeps, trains = [], [], [], [], []
+        for i in idxs:
+            sub = prepped[i][4]
+            z = stft(jnp.asarray(sub), scfg)
+            mag, phase = magphase(z)
+            bad = np.zeros(mag.shape[1], bool)
+            bad[silent_frame_columns(sub, mag.shape[1], scfg.hop,
+                                     threshold=max(threshold, 0.01),
+                                     silent_fraction=0.8)] = True
+            keep = np.broadcast_to(~bad[None, :], mag.shape)
+            # same stripes the sequential api path would draw (same key)
+            syn = training_stripes(jax.random.PRNGKey(seed),
+                                   mag.shape[1], ~bad)
+            trains.append(keep * np.broadcast_to(syn[None, :], mag.shape))
+            keeps.append(keep)
+            mags.append(mag)
+            phases.append(phase)
+            maxes.append(jnp.max(mag))
+        batch = jnp.stack([m / mx for m, mx in zip(mags, maxes)])[..., None]
+        trainb = jnp.asarray(np.stack(trains), jnp.float32)[..., None]
+        keepb = jnp.asarray(np.stack(keeps), jnp.float32)[..., None]
+        n_real = len(idxs)
+        n_dev = 1 if mesh is None else mesh.devices.size
+        n_pad = (-n_real) % n_dev
+
+        def _pad(a):
+            # mesh divisor: repeat the last window, drop its outputs below
+            return (jnp.concatenate([a, a[-1:].repeat(n_pad, 0)])
+                    if n_pad else a)
+
+        # every window gets the SAME key the sequential api path would use,
+        # so batching never changes the restoration
+        keys = jnp.broadcast_to(jax.random.PRNGKey(seed),
+                                (n_real + n_pad, 2))
+        final, _ = restore_clips_unet(_pad(batch), _pad(trainb),
+                                      UNetTrainConfig(**cfg_kwargs),
+                                      mesh=mesh, key=keys,
+                                      valid_batch=_pad(keepb),
+                                      composite_mask_batch=_pad(keepb))
+        for j, i in enumerate(idxs):
+            out_mag = jnp.asarray(final[j, ..., 0], jnp.float32) * maxes[j]
+            results[i] = np.asarray(
+                istft(polar(out_mag, phases[j]), scfg, size),
+                np.float32)
+    return results

@@ -118,7 +118,9 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
     to the lane-packed model's divisors (F%4, T%32) and trimmed on return,
     like the single-clip unet_train_restore and the GAN twin
     (gan_batch.restore_clips_gan). B must divide by the mesh size; mask
-    1 = kept. valid_batch (optional, same shape, 1 = real content): each
+    1 = kept. key: one PRNG key / int seed (split across clips) or a
+    (B, 2) array of per-clip keys (e.g. the same key for every clip, to
+    match B independent single-clip calls exactly). valid_batch (optional, same shape, 1 = real content): each
     clip's true extent when the caller pre-pads unequal lengths — pad
     cells leave the loss numerator AND denominator, matching the
     single-clip unet_train_restore semantics. composite_mask_batch
@@ -132,6 +134,8 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
         key = jax.random.PRNGKey(key)
     if mesh is None:
         mesh = make_mesh(1)
+    key = jnp.asarray(key)
+    per_clip_keys = key.ndim == 2  # (B, 2): caller-supplied per-clip keys
     mag = jnp.asarray(mag_norm_batch, jnp.float32)
     msk = jnp.asarray(mask_batch, jnp.float32)
     B, f0, t0 = mag.shape[0], mag.shape[1], mag.shape[2]
@@ -148,7 +152,8 @@ def restore_clips_unet(mag_norm_batch, mask_batch,
     cmsk = (msk if composite_mask_batch is None
             else _pad4_batch(jnp.asarray(composite_mask_batch, jnp.float32),
                              1.0))
-    keys = jax.random.split(key, B)
+    keys = key if per_clip_keys else jax.random.split(key, B)
+    assert keys.shape[0] == B, (keys.shape, B)
 
     params = _init_fn(mesh, cfg)(keys, inp)
     opt_state = _opt_init_fn(mesh)(params)

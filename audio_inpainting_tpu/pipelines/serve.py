@@ -62,37 +62,22 @@ def _true_extent_mask(shape, f: int, clips) -> np.ndarray:
 
 def _synthetic_train_masks(seed: int, clips, masks: np.ndarray) -> np.ndarray:
     """Per-clip synthetic stripe masks for serving-mode U-Net training
-    (1 = keep). Stripes are drawn over each clip's TRUE frame extent —
-    never the divisor/batch padding — with widths clamped for short clips
-    and at least one stripe (the reference stripe-count formula truncates
-    to 0 under ~50 frames, which would leave the loss identically zero and
-    ship an UNTRAINED net's output into the real holes). Resamples up to 8
-    times if every stripe landed on already-damaged columns, so each clip
-    gets >= 1 trainable cell (intact AND synthetically hidden) whenever
-    one exists."""
+    (1 = keep), drawn over each clip's TRUE frame extent — never the
+    divisor/batch padding. The stripe policy (width clamps, >=1 stripe,
+    resample-off-damage) lives in corrupt.training_stripes, shared with the
+    blind `api.restore` U-Net branch."""
     import jax
 
-    from ..corrupt import random_frame_mask
+    from ..corrupt import training_stripes
 
-    g, _, t_pad = masks.shape
+    _, _, t_pad = masks.shape
     syn = np.ones_like(masks)
     base = jax.random.PRNGKey(seed)
     for i, c in enumerate(clips):
         t_i = min(c[2].shape[1], t_pad)
-        if t_i < 4:                 # too short for stripes: hide one column
-            syn[i, :, t_i // 2] = 0.0
-            continue
-        mt = min(30, max(2, t_i // 2))       # stripe width in [mn, mt)
-        mn = max(1, min(5, mt - 1))
         intact = masks[i, 0, :t_i] > 0       # full-band stripes: row 0 view
-        m = None
-        for attempt in range(8):
-            m = np.asarray(random_frame_mask(
-                jax.random.fold_in(base, i * 8 + attempt), 1, t_i,
-                min_time_mask=mn, max_time_mask=mt, min_segments=1))[0]
-            if ((m == 0) & intact).any() or not intact.any():
-                break
-        syn[i, :, :t_i] = m[None, :]
+        syn[i, :, :t_i] = training_stripes(
+            jax.random.fold_in(base, i), t_i, intact)[None, :]
     return syn
 
 

@@ -57,6 +57,24 @@ def test_restore_unet(damaged_clip):
     assert out.shape == d.shape and np.isfinite(out).all()
 
 
+def test_restore_unet_blind_fills_with_content():
+    """Blind U-Net must train on synthetic stripes over the INTACT columns
+    and keep the real holes out of the loss — training against the
+    detected-damage mask teaches the net its holes contain silence
+    (regression: the fill used to come back at amplitude ~0.003)."""
+    sr = 8000
+    t = np.arange(3 * sr)
+    x = (0.5 * np.sin(2 * np.pi * 440 * t / sr)
+         + 0.3 * np.sin(2 * np.pi * 660 * t / sr)).astype(np.float32)
+    d = x.copy()
+    d[10_000:12_000] = 0.0
+    out = restore(d, sr, method="unet", epochs=300, seed=0)
+    g = slice(10_000, 12_000)
+    assert np.abs(out[g]).max() > 0.1            # real energy, not silence
+    # restored energy is the right order of magnitude, not a blown-up fill
+    assert 0.2 < np.sqrt(np.mean(out[g] ** 2)) / np.sqrt(np.mean(x[g] ** 2)) < 3.0
+
+
 def test_restore_gan_requires_original(damaged_clip):
     """Without ground truth the GAN's target would contain the hole it is
     filling (api.py refuses; reference trains on the clean clip,

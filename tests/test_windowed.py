@@ -168,6 +168,48 @@ def test_windowed_ar_texture_path():
             < np.mean((dmg[g] - clean[g]) ** 2))
 
 
+def test_windowed_unet_batched_equals_sequential():
+    """batch_windows=True stacks same-size windows into one dp-mesh program
+    (every window keeping the sequential path's key), so the output matches
+    the per-window path to the batch-vs-single f32 pin."""
+    clean, dmg, sr, gaps = _long_clip(
+        n=64_000, gaps=((10_000, 10_400), (40_000, 40_400)))
+    kw = dict(method="unet", window_s=0.5, gaps=gaps, epochs=4, seed=3)
+    seq = restore_windowed(dmg, sr, batch_windows=False, **kw)
+    bat = restore_windowed(dmg, sr, batch_windows=True, **kw)
+    # identical plan -> identical clean passthrough; restored spans match
+    # to the pinned tolerance of tests/test_batch_restore.py
+    np.testing.assert_allclose(bat, seq, atol=2e-5)
+    for s, e in gaps:
+        assert np.abs(bat[s:e]).max() > 1e-4  # something was written
+
+
+def test_windowed_unet_batched_on_8dev_mesh():
+    """batch_windows over the full virtual 8-device dp mesh: the two real
+    windows are padded with repeats to the mesh divisor and the output
+    still matches the sequential path."""
+    from audio_inpainting_tpu.parallel import make_mesh
+
+    clean, dmg, sr, gaps = _long_clip(
+        n=64_000, gaps=((10_000, 10_400), (40_000, 40_400)))
+    kw = dict(method="unet", window_s=0.5, gaps=gaps, epochs=4, seed=3)
+    seq = restore_windowed(dmg, sr, batch_windows=False, **kw)
+    bat = restore_windowed(dmg, sr, batch_windows=True, mesh=make_mesh(),
+                           **kw)
+    np.testing.assert_allclose(bat, seq, atol=2e-5)
+
+
+def test_windowed_unet_batched_mixed_sizes():
+    """Two size classes (one oversized gap doubles its window): the batched
+    path restores each class as its own batch and keeps prepped order."""
+    clean, dmg, sr, gaps = _long_clip(
+        n=64_000, gaps=((10_000, 10_300), (36_000, 41_000)))
+    kw = dict(method="unet", window_s=0.5, gaps=gaps, epochs=4, seed=0)
+    seq = restore_windowed(dmg, sr, batch_windows=False, **kw)
+    bat = restore_windowed(dmg, sr, batch_windows=True, **kw)
+    np.testing.assert_allclose(bat, seq, atol=2e-5)
+
+
 def test_windowed_no_gaps_is_identity():
     x = (0.5 * np.sin(np.arange(10_000) * 0.1)).astype(np.float32)
     out = restore_windowed(x, 8000, method="linear")
