@@ -128,6 +128,9 @@ _LIVE_PANEL = """
 <option value='unet'>unet (per-clip self-supervised, slow)</option>
 <option value='diffusion'>diffusion (DDPM/RePaint, slow)</option>
 </select>
+<label>window s <input type='number' id='window_s' min='0.05' max='60'
+step='0.5' style='width:4em' placeholder='off'
+title='long files: restore fixed windows around the damage only'></label>
 <button id='go'>Restore</button> <span id='status'></span>
 <br><audio id='out' controls style='display:none;margin-top:8px'></audio>
 <script>
@@ -136,9 +139,11 @@ document.getElementById('go').onclick = async () => {
   const st = document.getElementById('status');
   if (!f) { st.textContent = 'pick a WAV first'; return; }
   const m = document.getElementById('method').value;
+  const ws = document.getElementById('window_s').value;
   st.textContent = 'restoring with ' + m + '\\u2026 (neural methods train per clip)';
   try {
-    const r = await fetch('/api/restore?method=' + m,
+    const r = await fetch('/api/restore?method=' + m +
+                          (ws ? '&window_s=' + ws : ''),
                           {method: 'POST', body: await f.arrayBuffer()});
     if (!r.ok) { st.textContent = 'error: ' + (await r.json()).error; return; }
     const a = document.getElementById('out');

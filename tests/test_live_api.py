@@ -142,6 +142,7 @@ def test_static_gallery_includes_live_panel():
     assert "/api/restore" in h and "id='live'" in h
     for m in ("ar", "linear", "nmf", "unet", "diffusion"):
         assert f"value='{m}'" in h
+    assert "window_s" in h  # windowed long-file mode reachable from the UI
 
 
 def test_windowed_restore_via_api(server, tmp_path):
