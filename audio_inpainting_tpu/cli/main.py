@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--devices", type=int, default=1,
                     help="dp mesh size (clips padded to a multiple)")
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--window-s", type=float, default=None,
+                    help="long-file mode: per clip, restore only fixed "
+                         "windows around the detected damage (unet windows "
+                         "batch over the dp mesh)")
     ps.add_argument("--json", action="store_true")
 
     psc = sub.add_parser("score", help="SNR/LSD of restored WAVs vs originals")
@@ -203,7 +207,8 @@ def main(argv=None) -> int:
 
         res = run_serve(args.input_dir, args.output_dir, method=args.method,
                         epochs=args.epochs, originals_dir=args.originals,
-                        seed=args.seed, devices=args.devices)
+                        seed=args.seed, devices=args.devices,
+                        window_s=args.window_s)
         _emit("serve", res if args.json else res["files"], args.json)
         print(f"{res['clips']} clips -> {args.output_dir} "
               f"({res['wall_s']}s)", file=sys.stderr)

@@ -83,8 +83,16 @@ def _synthetic_train_masks(seed: int, clips, masks: np.ndarray) -> np.ndarray:
 
 def run_serve(input_dir: str, output_dir: str, method: str = "unet",
               epochs: int = 400, originals_dir: str | None = None,
-              seed: int = 0, devices: int = 1) -> dict:
-    """Restore every WAV under input_dir into output_dir; returns metrics."""
+              seed: int = 0, devices: int = 1,
+              window_s: float | None = None) -> dict:
+    """Restore every WAV under input_dir into output_dir; returns metrics.
+
+    window_s: long-file mode — each clip restores only fixed windows around
+    its detected damage (methods/windowed.py: O(damage) work, static window
+    shapes, exact clean passthrough; unet windows batch over the dp mesh).
+    Without it, whole clips batch over the mesh (unet/gan) or run the
+    per-clip facade.
+    """
     from ..methods.neural import GANTrainConfig, UNetTrainConfig
     from ..parallel import make_mesh, restore_clips_gan
     from ..parallel.batch import restore_clips_unet
@@ -129,6 +137,33 @@ def run_serve(input_dir: str, output_dir: str, method: str = "unet",
                              f"original in {originals_dir}: {skipped}")
         paths = [p for p, _ in kept2]
         clips = [c for _, c in kept2]
+
+    if window_s is not None:
+        import jax
+
+        from ..methods.windowed import restore_windowed
+
+        n_dev = min(max(devices, 1), jax.device_count())
+        wmesh = make_mesh(n_dev) if n_dev > 1 else None
+        results = {"method": method, "clips": len(clips), "epochs": epochs,
+                   "window_s": window_s, "skipped": skipped, "files": {}}
+        for i, (path, (sr, x, mag, _phase, cols)) in enumerate(
+                zip(paths, clips)):
+            kw = {}
+            if method in ("unet", "gan"):
+                kw["epochs"] = epochs
+            elif method == "diffusion":
+                kw["train_steps"] = epochs
+            y = restore_windowed(
+                x, sr, method=method, window_s=window_s, seed=seed,
+                original=orig_clips[i][1] if method == "gan" else None,
+                batch_windows=(method == "unet"), mesh=wmesh, **kw)
+            name = os.path.basename(path)
+            save_wav_int16(y, sr, os.path.join(output_dir, name))
+            results["files"][name] = {"frames": int(mag.shape[1]),
+                                      "damaged_cols": int(cols.sum())}
+        results["wall_s"] = round(time.time() - t0, 2)
+        return results
 
     f = clips[0][2].shape[0]
     g = len(clips)

@@ -68,6 +68,33 @@ def test_serve_gan_batch_requires_and_uses_originals(tmp_path):
     assert res["method"] == "gan"
 
 
+def test_serve_windowed_long_files(tmp_path):
+    """--window-s serving: each clip restores only windows around its
+    damage; clean samples pass through bit-exact, every output written."""
+    from audio_inpainting_tpu.pipelines.serve import run_serve
+
+    din, dout = tmp_path / "in", tmp_path / "out"
+    din.mkdir()
+    sr = 8000
+    originals, gaps = {}, (12_000, 12_600)
+    for k in range(2):
+        t = np.arange(4 * sr)
+        x = (0.6 * np.sin(2 * np.pi * (1.5 + k) * t / sr)).astype(np.float32)
+        d = x.copy()
+        d[gaps[0]:gaps[1]] = 0.0
+        save_wav_int16(d, sr, str(din / f"c{k}.wav"))
+        originals[f"c{k}.wav"] = x
+    res = run_serve(str(din), str(dout), method="linear", window_s=0.5)
+    assert res["window_s"] == 0.5 and len(res["files"]) == 2
+    for name, clean in originals.items():
+        sr2, y = load_mono_normalized(str(dout / name))
+        _, d = load_mono_normalized(str(din / name))
+        g = slice(*gaps)
+        assert np.abs(y[g]).max() > 0.01
+        assert (np.mean((y[g] - clean[g] / np.abs(clean).max()) ** 2)
+                < np.mean((d[g] - clean[g] / np.abs(clean).max()) ** 2))
+
+
 def test_serve_cli(tmp_path):
     from audio_inpainting_tpu.cli.main import main
 
