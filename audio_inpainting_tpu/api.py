@@ -43,12 +43,36 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
     def _mask():
         if mask is not None:
             return np.asarray(mask, bool)
+        if gaps is not None:
+            # explicit damage spans beat the threshold scan: naturally quiet
+            # passages stay untouched
+            m = np.ones(n, bool)
+            for s, e in gaps:
+                m[max(0, int(s)):min(n, int(e))] = False
+            return m
         return np.abs(damaged) > threshold
 
     def _gaps():
         if gaps is not None:
-            return list(gaps)
+            return [(int(s), int(e)) for s, e in gaps]
         return find_gaps(damaged, threshold=max(threshold, 0.01), min_len=100)
+
+    def _bad_columns(n_cols: int, thr: float) -> np.ndarray:
+        """Column damage indicator for the spectral methods. With explicit
+        gaps/mask, map the sample mask through the SAME hop-window
+        silent-fraction criterion the blind path uses (a column is bad when
+        >=80% of its window is damaged) by scanning the mask as a 0/1
+        pseudo-signal; blind otherwise (reference main4_NMF_gap.py:28-40)."""
+        bad = np.zeros(n_cols, bool)
+        if gaps is not None or mask is not None:
+            ind = _mask().astype(np.float32)   # 0 inside damage
+            idx = silent_frame_columns(ind, n_cols, 256, threshold=0.5,
+                                       silent_fraction=0.8)
+        else:
+            idx = silent_frame_columns(damaged, n_cols, 256,
+                                       threshold=thr, silent_fraction=0.8)
+        bad[idx] = True
+        return bad
 
     if method == "linear":
         from .methods import linear_interp_masked
@@ -79,9 +103,7 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
     if method == "nmf":
         from .methods.nmf import NMFConfig, nmf_inpaint_columns
 
-        bad = np.zeros(mag.shape[1], bool)
-        bad[silent_frame_columns(damaged, mag.shape[1], 256,
-                                 threshold=threshold, silent_fraction=0.8)] = True
+        bad = _bad_columns(mag.shape[1], threshold)
         out_mag = nmf_inpaint_columns(mag, jnp.asarray(bad),
                                       NMFConfig(**cfg_kwargs),
                                       jax.random.PRNGKey(seed))
@@ -93,11 +115,8 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
 
         mag_max = jnp.max(mag)
         mag_norm = mag / mag_max
-        # frame-level keep mask from the signal's silent columns
-        bad = np.zeros(mag.shape[1], bool)
-        bad[silent_frame_columns(damaged, mag.shape[1], 256,
-                                 threshold=max(threshold, 0.01),
-                                 silent_fraction=0.8)] = True
+        # frame-level keep mask from explicit gaps or the silent columns
+        bad = _bad_columns(mag.shape[1], max(threshold, 0.01))
         keep = jnp.broadcast_to(jnp.asarray(~bad, jnp.float32)[None, :], mag.shape)
         # Self-supervised on BLIND damage: train on synthetic stripes hidden
         # over the intact columns and keep the real holes OUT of the loss —

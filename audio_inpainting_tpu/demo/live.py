@@ -88,6 +88,8 @@ def parse_params(query: str) -> dict:
         try:
             if key == "method":
                 out["method"] = val
+            elif key == "gaps":
+                out["gaps"] = parse_gaps(val)
             elif key in _FLOAT_PARAMS:
                 out[key] = float(val)
             elif key in _INT_PARAMS:
@@ -113,6 +115,29 @@ def parse_params(query: str) -> dict:
         raise RestoreError(400, f"unknown method {method!r}; "
                                 f"one of {sorted(METHODS)}")
     return out
+
+
+def parse_gaps(val: str) -> list:
+    """`gaps=1000-2000,5000-5200` -> [(1000, 2000), (5000, 5200)].
+
+    Explicit damaged spans (sample indices) skip the blind threshold
+    detection — useful when the damage location is known and the clip has
+    naturally quiet passages the detector would rewrite. Bounds beyond the
+    clip's end are dropped downstream (restore_windowed filters; the facade
+    methods clamp slices)."""
+    gaps = []
+    for part in val.split(","):
+        s, sep, e = part.partition("-")
+        if not sep or not s.strip().isdigit() or not e.strip().isdigit():
+            raise RestoreError(
+                400, f"bad gaps syntax {part!r}; want start-end[,start-end]")
+        lo, hi = int(s), int(e)
+        if not 0 <= lo < hi:
+            raise RestoreError(400, f"bad gap bounds {part!r}")
+        gaps.append((lo, hi))
+    if len(gaps) > 10000:
+        raise RestoreError(400, "over 10000 gaps")
+    return gaps
 
 
 def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:

@@ -208,12 +208,15 @@ def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,
     for size, idxs in by_size.items():
         mags, phases, maxes, keeps, trains = [], [], [], [], []
         for i in idxs:
-            sub = prepped[i][4]
+            sub, sample_mask = prepped[i][4], prepped[i][7]
             z = stft(jnp.asarray(sub), scfg)
             mag, phase = magphase(z)
+            # same explicit-gap column mapping the sequential api path uses
+            # (a 0/1 mask pseudo-signal through the silent-fraction scan)
             bad = np.zeros(mag.shape[1], bool)
-            bad[silent_frame_columns(sub, mag.shape[1], scfg.hop,
-                                     threshold=max(threshold, 0.01),
+            bad[silent_frame_columns(sample_mask.astype(np.float32),
+                                     mag.shape[1], scfg.hop,
+                                     threshold=0.5,
                                      silent_fraction=0.8)] = True
             keep = np.broadcast_to(~bad[None, :], mag.shape)
             # same stripes the sequential api path would draw (same key)

@@ -75,6 +75,28 @@ def test_restore_unet_blind_fills_with_content():
     assert 0.2 < np.sqrt(np.mean(out[g] ** 2)) / np.sqrt(np.mean(x[g] ** 2)) < 3.0
 
 
+def test_restore_explicit_gaps_beat_threshold_scan(damaged_clip):
+    """Explicit gaps: only the named spans are rewritten — naturally quiet
+    passages the threshold scan would flag stay bit-identical."""
+    sr, x, d = damaged_clip
+    quiet = d.copy()
+    quiet[5000:5600] *= 0.00005          # natural near-silence, NOT damage
+    out = restore(quiet, sr, method="linear", gaps=[(3000, 3400)])
+    assert np.abs(out[3000:3400]).max() > 0       # the named gap is filled
+    np.testing.assert_array_equal(out[5000:5600], quiet[5000:5600])
+    np.testing.assert_array_equal(out[9000:9200], quiet[9000:9200])
+
+
+def test_restore_unet_explicit_gaps_columns(damaged_clip):
+    """Spectral methods map explicit gaps through the same hop-window
+    silent-fraction criterion as the blind path (only the gap's columns
+    train as damage)."""
+    sr, x, d = damaged_clip
+    out = restore(d, sr, method="unet", gaps=[(3000, 3400)], epochs=20,
+                  bf16=False)
+    assert out.shape == d.shape and np.isfinite(out).all()
+
+
 def test_restore_gan_requires_original(damaged_clip):
     """Without ground truth the GAN's target would contain the hole it is
     filling (api.py refuses; reference trains on the clean clip,

@@ -209,6 +209,30 @@ def test_parse_params_bounds():
     assert parse_params("threshold=1.0")["threshold"] == 1.0
 
 
+def test_parse_gaps():
+    from audio_inpainting_tpu.demo.live import parse_gaps
+
+    assert parse_gaps("1000-2000") == [(1000, 2000)]
+    assert parse_gaps("1000-2000,5000-5200") == [(1000, 2000), (5000, 5200)]
+    for bad in ("1000", "a-b", "2000-1000", "-5-2", "1000-1000"):
+        with pytest.raises(RestoreError):
+            parse_gaps(bad)
+    assert parse_params("gaps=10-20&method=linear")["gaps"] == [(10, 20)]
+
+
+def test_live_restore_with_explicit_gaps(server, tmp_path):
+    """gaps= skips blind detection: only the named span is rewritten."""
+    path, clean, dmg, sr, gap = _damaged_clip(tmp_path)
+    with open(path, "rb") as f:
+        body = f.read()
+    resp = _post(
+        f"{server}/api/restore?method=linear&gaps={gap[0]}-{gap[1]}", body)
+    assert resp.status == 200
+    sr2, data = read_wav_bytes(resp.read(), tmp_path)
+    x = data.astype(np.float32) / 32767.0
+    assert np.abs(x[slice(*gap)]).max() > 0.01
+
+
 def test_diffusion_budget_alias_ambiguity():
     """epochs and train_steps alias the same diffusion budget; sending both
     is refused rather than silently picking one."""
