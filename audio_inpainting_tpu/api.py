@@ -33,7 +33,7 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
     import jax
     import jax.numpy as jnp
 
-    from .corrupt import find_gaps, silent_frame_columns
+    from .corrupt import find_gaps, mask_to_bad_columns, silent_frame_columns
     from .ops import torch_stft_config, stft, istft
     from .ops.stft import magphase, polar
 
@@ -63,15 +63,11 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         silent-fraction criterion the blind path uses (a column is bad when
         >=80% of its window is damaged) by scanning the mask as a 0/1
         pseudo-signal; blind otherwise (reference main4_NMF_gap.py:28-40)."""
-        bad = np.zeros(n_cols, bool)
         if gaps is not None or mask is not None:
-            ind = _mask().astype(np.float32)   # 0 inside damage
-            idx = silent_frame_columns(ind, n_cols, 256, threshold=0.5,
-                                       silent_fraction=0.8)
-        else:
-            idx = silent_frame_columns(damaged, n_cols, 256,
-                                       threshold=thr, silent_fraction=0.8)
-        bad[idx] = True
+            return mask_to_bad_columns(_mask(), n_cols, 256)
+        bad = np.zeros(n_cols, bool)
+        bad[silent_frame_columns(damaged, n_cols, 256,
+                                 threshold=thr, silent_fraction=0.8)] = True
         return bad
 
     if method == "linear":
@@ -113,7 +109,9 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         from .corrupt import training_stripes
         from .methods.neural import UNetTrainConfig, unet_train_restore
 
-        mag_max = jnp.max(mag)
+        # all-silent input has max 0 — degrade to a zero spectrogram
+        # instead of 0/0 NaNs poisoning the whole output
+        mag_max = jnp.maximum(jnp.max(mag), 1e-12)
         mag_norm = mag / mag_max
         # frame-level keep mask from explicit gaps or the silent columns
         bad = _bad_columns(mag.shape[1], max(threshold, 0.01))
@@ -139,8 +137,17 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         from .methods.neural import GANTrainConfig, gan_train_restore
 
         mag_min, mag_max = jnp.min(mag), jnp.max(mag)
-        norm = (mag - mag_min) / (mag_max - mag_min) * 2.0 - 1.0
-        keep = (norm > -0.95).astype(jnp.float32)
+        scale = jnp.maximum(mag_max - mag_min, 1e-12)  # constant input: no NaN
+        norm = (mag - mag_min) / scale * 2.0 - 1.0
+        if gaps is not None or mask is not None:
+            # explicit damage spans beat the pixel-brightness scan: columns
+            # inside the named spans are the hole, everything else is kept
+            # (naturally dark pixels outside the spans stay untouched)
+            bad = _bad_columns(mag.shape[1], threshold)
+            keep = jnp.broadcast_to(
+                jnp.asarray(~bad, jnp.float32)[None, :], mag.shape)
+        else:
+            keep = (norm > -0.95).astype(jnp.float32)
         if original is None:
             # Refuse rather than silently self-supervise: without the clean
             # clip the training target IS the damaged spectrogram — the hole
@@ -152,7 +159,7 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
                 "spectrogram; without it the target would contain the hole "
                 "being filled")
         z_real = stft(jnp.asarray(np.asarray(original, np.float32)[:n]), scfg)
-        real = ((jnp.abs(z_real) - mag_min) / (mag_max - mag_min)) * 2.0 - 1.0
+        real = ((jnp.abs(z_real) - mag_min) / scale) * 2.0 - 1.0
         final, _ = gan_train_restore(norm, real, keep,
                                      GANTrainConfig(**cfg_kwargs), key=seed)
         final_mag = (jnp.asarray(final) + 1.0) / 2.0 * (mag_max - mag_min) + mag_min
@@ -162,8 +169,12 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         from .methods.diffusion import DiffusionConfig, diffusion_restore_audio
 
         ckpt = cfg_kwargs.pop("checkpoint_dir", None)
+        # explicit damage spans override the codec's near-black image scan
+        sample_mask = (_mask() if gaps is not None or mask is not None
+                       else None)
         return diffusion_restore_audio(damaged, sr,
                                        DiffusionConfig(**cfg_kwargs),
-                                       key=seed, checkpoint_dir=ckpt)
+                                       key=seed, checkpoint_dir=ckpt,
+                                       sample_mask=sample_mask)
 
     raise ValueError(f"unknown method {method!r}")

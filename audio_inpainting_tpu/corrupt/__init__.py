@@ -11,6 +11,7 @@ from .detect import (
     find_main_gap,
     find_gaps,
     silent_frame_columns,
+    mask_to_bad_columns,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "find_main_gap",
     "find_gaps",
     "silent_frame_columns",
+    "mask_to_bad_columns",
 ]

@@ -49,6 +49,8 @@ def find_gaps(signal: np.ndarray, threshold: float = 0.01,
     # compile + device round-trip for one elementwise compare) — windowed
     # long-file restore depends on this staying O(n) on the host
     is_gap = (np.abs(np.asarray(signal)) < threshold).astype(np.int8)
+    if is_gap.size == 0:
+        return []
     diff = np.diff(is_gap)
     starts = np.flatnonzero(diff == 1) + 1
     ends = np.flatnonzero(diff == -1) + 1
@@ -89,3 +91,17 @@ def silent_frame_columns(signal, n_frames: int, hop: int,
     is_gap = silence_mask(jnp.asarray(signal, jnp.float32), threshold)
     frac = _silent_fraction_per_column(is_gap, n_frames, hop)
     return np.flatnonzero(np.asarray(jax.device_get(frac)) > silent_fraction)
+
+
+def mask_to_bad_columns(sample_mask, n_frames: int, hop: int) -> np.ndarray:
+    """Explicit-gap column mapping: scan a per-sample validity mask
+    (1/True = valid) as a 0/1 pseudo-signal through the SAME hop-window
+    silent-fraction criterion the blind path uses — a column is bad when
+    >= 80% of its window covers damaged samples. The ONE definition of
+    this mapping, shared by the `api.restore` facade, the windowed batch
+    path and the diffusion codec so the 0.5/0.8 criterion can never drift
+    between them. Returns bool (n_frames,), True = bad."""
+    bad = np.zeros(n_frames, bool)
+    bad[silent_frame_columns(np.asarray(sample_mask, np.float32), n_frames,
+                             hop, threshold=0.5, silent_fraction=0.8)] = True
+    return bad

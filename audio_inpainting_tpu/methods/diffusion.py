@@ -337,7 +337,7 @@ def diffusion_restore_audio(damaged: np.ndarray, sr: int,
                             cfg: DiffusionConfig = DiffusionConfig(),
                             key: int = 0, composite: bool = True,
                             checkpoint_dir: str | None = None,
-                            params=None) -> np.ndarray:
+                            params=None, sample_mask=None) -> np.ndarray:
     """Full reference pipeline: wav -> log-spec image -> inpaint masked
     (near-black) region -> linear spec -> Griffin-Lim -> waveform.
 
@@ -353,6 +353,13 @@ def diffusion_restore_audio(damaged: np.ndarray, sr: int,
     dir from train_spectrogram_ddpm) skips the per-clip DDPM training —
     the pretrained-weights mode the reference's riffusion pipeline uses
     (~3 s instead of ~20 s on a v5e).
+
+    ``sample_mask`` (optional per-sample bool/0-1 array, True = valid):
+    explicit damage spans from the caller override the codec's near-black
+    image scan (reference main_diffusion_gap.py:52-55) — the hole is the
+    image columns the mask maps to (the shared hop-window criterion,
+    corrupt.mask_to_bad_columns), so naturally dark passages outside the
+    named spans are never rewritten.
     """
     damaged = np.asarray(damaged, np.float32)
     if params is None and checkpoint_dir is not None:
@@ -361,7 +368,14 @@ def diffusion_restore_audio(damaged: np.ndarray, sr: int,
         params = load_params(checkpoint_dir)
     logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
     img, smin, smax = logspec_to_image(logspec)
-    mask = mask_from_image(img)
+    if sample_mask is not None:
+        from ..corrupt import mask_to_bad_columns
+
+        bad = mask_to_bad_columns(sample_mask, img.shape[1], 512)
+        mask = np.zeros_like(img)
+        mask[:, bad] = 255
+    else:
+        mask = mask_from_image(img)
     inpainted = diffusion_inpaint_image(img, mask, cfg, key, params=params)
     linear = image_to_linear_spec(inpainted, smin, smax)
     out = np.asarray(griffin_lim(jnp.asarray(linear), n_fft=2048, hop=512,

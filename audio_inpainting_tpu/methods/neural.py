@@ -191,7 +191,10 @@ def _unet_scan_core(params, opt_state, inp, tgt, mask, valid,
     model = PackedSimpleUNet(dtype=_dtype(cfg))
     tx = optax.adam(cfg.lr)
     inv = (1.0 - mask) * valid
-    denom = jnp.sum(valid)
+    # a window whose every column is damaged has sum(valid) == 0 (reachable
+    # via explicit gaps covering the whole clip): the loss degrades to 0
+    # with zero gradients instead of 0/0 NaN params poisoning the composite
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
 
     def loss_fn(p):
         out = model.apply({"params": p}, inp)

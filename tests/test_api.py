@@ -116,3 +116,46 @@ def test_restore_unknown_method(damaged_clip):
     sr, x, d = damaged_clip
     with pytest.raises(ValueError):
         restore(d, sr, method="nope")
+
+
+def test_restore_gan_explicit_gaps_keep_mask(damaged_clip, monkeypatch):
+    """The gan branch must honor explicit gaps like every other method:
+    keep = the gap columns via the shared hop-window mapping, NOT the
+    pixel-brightness scan (which would rewrite naturally dark pixels)."""
+    import numpy as np
+
+    from audio_inpainting_tpu.methods import neural
+
+    sr, x, d = damaged_clip
+    seen = {}
+    real_fn = neural.gan_train_restore
+
+    def spy(input_norm, real, keep, cfg, key=0):
+        seen["keep"] = np.asarray(keep)
+        return np.asarray(input_norm), (None, None)
+
+    monkeypatch.setattr(neural, "gan_train_restore", spy)
+    # 800-sample span: wide enough that at least one hop-window column is
+    # >=80% damaged (a 400-sample span can straddle two columns at 78% each
+    # and map to none — the reference's own fraction criterion)
+    restore(d, sr, method="gan", gaps=[(3000, 3800)], epochs=2, original=x)
+    keep = seen["keep"]
+    from audio_inpainting_tpu.corrupt import mask_to_bad_columns
+
+    m = np.ones(len(d), bool)
+    m[3000:3800] = False
+    bad = mask_to_bad_columns(m, keep.shape[1], 256)
+    assert bad.any()
+    # keep is the column mask: 0 on every gap column, 1 elsewhere —
+    # including columns whose pixels are naturally dark
+    assert (keep[:, bad] == 0.0).all()
+    assert (keep[:, ~bad] == 1.0).all()
+
+
+def test_restore_unet_all_damaged_is_finite():
+    """gaps covering the whole clip: sum(valid) == 0 in the masked loss —
+    output must stay finite (degrade), not NaN-poison the composite."""
+    sr = 8000
+    d = np.zeros(sr, np.float32)
+    out = restore(d, sr, method="unet", gaps=[(0, sr)], epochs=2)
+    assert np.isfinite(out).all()

@@ -118,3 +118,26 @@ def test_griffin_lim_short_spectrogram_falls_back():
     out = griffin_lim(mag, n_iter=2)
     assert out.shape == (1024,)          # (n_frames-1)*hop + ... cropped
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_restore_audio_sample_mask_overrides_detection():
+    """sample_mask (explicit gaps from the facade): only the named span's
+    columns become the hole — a second, naturally-quiet span stays
+    untouched in the composite instead of being rewritten."""
+    from audio_inpainting_tpu.methods.diffusion import (DiffusionConfig,
+                                                        diffusion_restore_audio)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(scale=0.2, size=32768).astype(np.float32)
+    x[6000:9000] = 0.0          # the named damage
+    x[20000:23000] = 0.0        # quiet but NOT named -> must survive
+    m = np.ones(len(x), bool)
+    m[6000:9000] = False
+    cfg = DiffusionConfig(train_steps=10, scan_chunk=5, sample_steps=3,
+                          patch=16, batch=2, base_channels=8)
+    out = diffusion_restore_audio(x, 16000, cfg, key=0, sample_mask=m)
+    assert out.shape == x.shape and np.isfinite(out).all()
+    # composite replaces only the named span (plus its crossfade skirt);
+    # the unnamed quiet span is bit-identical input
+    np.testing.assert_array_equal(out[20000:23000], x[20000:23000])
+    assert np.abs(out[6200:8800]).max() > 0.0
