@@ -123,8 +123,8 @@ def parse_gaps(val: str) -> list:
     Explicit damaged spans (sample indices) skip the blind threshold
     detection — useful when the damage location is known and the clip has
     naturally quiet passages the detector would rewrite. Bounds beyond the
-    clip's end are dropped downstream (restore_windowed filters; the facade
-    methods clamp slices)."""
+    clip's end are clamped downstream (both restore_windowed and the facade
+    methods clamp to the clip extent)."""
     gaps = []
     for part in val.split(","):
         s, sep, e = part.partition("-")
@@ -184,11 +184,24 @@ def restore_wav_bytes(body: bytes, method: str = "ar", **params) -> bytes:
                 if window_s is not None:
                     from ..methods.windowed import restore_windowed
 
-                    restored = restore_windowed(damaged, sr, method=method,
-                                                window_s=window_s, **params)
+                    # the 20000-sample GP ceiling must bind the ACTUAL
+                    # planned windows: an oversized damage group doubles the
+                    # base window (plan_windows), so checking window_s*sr
+                    # alone would let a huge span smuggle an O(n^3) fit past
+                    # the guard and hold _RESTORE_LOCK for hours
+                    restored = restore_windowed(
+                        damaged, sr, method=method, window_s=window_s,
+                        max_window=20000 if method == "gp" else None,
+                        **params)
                 else:
                     restored = api.restore(damaged, sr, method=method,
                                            **params)
+        except RestoreError:
+            raise
+        except ValueError as e:
+            # facade/windowed ValueErrors are input-contract messages
+            # (oversized GP window, method preconditions) — client errors
+            raise RestoreError(400, str(e))
         except TypeError as e:
             # a whitelisted param the chosen method's config doesn't take
             # (dataclass __init__ rejects the kwarg before any compute).

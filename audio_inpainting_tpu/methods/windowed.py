@@ -81,6 +81,7 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
                      margin: int = 50, threshold: float = 1e-4,
                      gaps=None, seed: int = 0, original=None,
                      batch_windows: bool = False, mesh=None,
+                     max_window: int | None = None,
                      **cfg_kwargs) -> np.ndarray:
     """Restore a long mono signal by windowing `api.restore` over the damage.
 
@@ -90,8 +91,13 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     back with ``margin``-sample linear crossfades at the gap boundaries
     (the reference's blend idiom, main4_NMF.py:114-126).
 
-    gaps: optional [(start, end)] damaged spans; blind-detected otherwise.
+    gaps: optional [(start, end)] damaged spans; blind-detected otherwise
+    (spans poking past the clip are clamped, like `api.restore`'s mask).
     original: clean reference signal (GAN only), windowed alongside.
+    max_window: refuse (ValueError) any planned window beyond this many
+    samples — the guard callers with per-method cost ceilings need, since
+    an oversized damage group doubles the base window until it fits (the
+    live API bounds GP's O(n^3) fit this way).
     Remaining kwargs flow to the method config via `api.restore` — note the
     facade's AR defaults (order=30, context_len=1000) target the reference's
     50-400-sample dropouts; for gaps beyond ~1000 samples pass the part-2
@@ -114,8 +120,11 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     window = max(int(round(window_s * sr)), 256)
     if gaps is None:
         gaps = find_gaps(damaged, threshold=max(threshold, 0.01), min_len=100)
-    gaps = _merge_close([(int(s), int(e)) for s, e in gaps
-                         if 0 <= s < e <= n], 2 * margin)
+    # clamp explicit spans into the clip (same semantics as api.restore's
+    # _mask slice clamp) rather than dropping a span that pokes past the end
+    gaps = _merge_close([(max(0, int(s)), min(n, int(e))) for s, e in gaps
+                         if int(s) < n and int(e) > 0 and int(s) < int(e)],
+                        2 * margin)
     out = damaged.copy()
     if not gaps:
         return out
@@ -125,26 +134,49 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
 
     prepped = []
     for w0, size, group in plan_windows(gaps, n, window, ctx):
+        if max_window is not None and size > max_window:
+            raise ValueError(
+                f"a damage span near sample {group[0][0]} needs a "
+                f"{size}-sample window ({size / sr:.2f} s — oversized groups "
+                f"double the base window until they fit), over the "
+                f"{max_window}-sample limit for method {method!r}; pick "
+                "another method for damage this large")
         hi = min(w0 + size, n)
         sub = damaged[w0:hi]
         sub_orig = None if orig is None else orig[w0:hi]
-        if hi - w0 < size:
-            # reflect-pad: the tail stays at natural signal amplitude so the
-            # methods' silence detectors don't mistake padding for damage
-            pad = size - (hi - w0)
-            sub = np.pad(sub, (0, pad), mode="reflect")
-            if sub_orig is not None:
-                sub_orig = np.pad(sub_orig, (0, pad), mode="reflect")
         # the method must know about EVERY gap inside the window — including
         # a neighboring group's — or it would fit/train on that gap's
         # silence as if it were signal (the reference's fit-on-zeros defect,
         # main3_AR_text_gap.py:34-49 detecting the whole file). Composite
         # back only THIS group's gaps; the neighbor's window owns the rest.
-        local = [(max(s, w0) - w0, min(e, w0 + size) - w0)
-                 for s, e in gaps if s < w0 + size and e > w0]
-        mask = np.ones(size, bool)
-        for s, e in local:
-            mask[s:e] = False
+        mask = np.ones(hi - w0, bool)
+        for s, e in gaps:
+            ls, le = max(s, w0) - w0, min(e, hi) - w0
+            if ls < le:
+                mask[ls:le] = False
+        if hi - w0 < size:
+            # reflect-pad: the tail stays at natural signal amplitude so the
+            # methods' silence detectors don't mistake padding for damage.
+            # The validity mask is mirrored ALONGSIDE the samples — a pad
+            # position whose mirror source sits inside a gap carries that
+            # gap's zeros, and marking it valid would hand the methods fake
+            # silence as anchor/fit context (the very defect this padding
+            # exists to avoid).
+            pad = size - (hi - w0)
+            sub = np.pad(sub, (0, pad), mode="reflect")
+            mask = np.pad(mask, (0, pad), mode="reflect")
+            if sub_orig is not None:
+                sub_orig = np.pad(sub_orig, (0, pad), mode="reflect")
+        # local spans = the mask's invalid runs (mirrored gap copies in the
+        # pad region included, so every method sees them as damage too)
+        flips = np.diff(mask.astype(np.int8))
+        starts = (np.flatnonzero(flips == -1) + 1).tolist()
+        ends = (np.flatnonzero(flips == 1) + 1).tolist()
+        if not mask[0]:
+            starts.insert(0, 0)
+        if not mask[-1]:
+            ends.append(size)
+        local = list(zip(starts, ends))
         prepped.append((w0, size, group, hi, sub, sub_orig, local, mask))
 
     if batch_windows and method == "unet" and len(prepped) > 1:
@@ -159,25 +191,33 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
             for (_, _, _, _, sub, sub_orig, local, mask) in prepped]
 
     for (w0, size, group, hi, *_), restored in zip(prepped, restored_all):
-        # composite weight over the window: 1 inside each of the group's
-        # gaps, linear ramps of up to ``margin`` samples just outside, 0
-        # elsewhere
-        w = np.zeros(size, np.float32)
-        for s, e in [(s - w0, e - w0) for s, e in group]:
-            lo_r = max(s - margin, 0)
-            hi_r = min(e + margin, size)
-            if lo_r < s:
-                w[lo_r:s] = np.maximum(w[lo_r:s],
-                                       np.linspace(0.0, 1.0, s - lo_r,
-                                                   endpoint=False))
-            w[s:e] = 1.0
-            if e < hi_r:
-                w[e:hi_r] = np.maximum(w[e:hi_r],
-                                       np.linspace(1.0, 0.0, hi_r - e,
-                                                   endpoint=False))
+        w = composite_weight(size, [(s - w0, e - w0) for s, e in group],
+                             margin)
         m = hi - w0
         out[w0:hi] = (1.0 - w[:m]) * out[w0:hi] + w[:m] * restored[:m]
     return out
+
+
+def composite_weight(size: int, rel_gaps: list[tuple[int, int]],
+                     margin: int) -> np.ndarray:
+    """Composite weight over a window: 1 inside each gap, linear ramps of up
+    to ``margin`` samples just outside, 0 elsewhere (the reference's
+    boundary-blend idiom, main4_NMF.py:114-126). Shared with the streaming
+    engine (methods/streaming.py)."""
+    w = np.zeros(size, np.float32)
+    for s, e in rel_gaps:
+        lo_r = max(s - margin, 0)
+        hi_r = min(e + margin, size)
+        if lo_r < s:
+            w[lo_r:s] = np.maximum(w[lo_r:s],
+                                   np.linspace(0.0, 1.0, s - lo_r,
+                                               endpoint=False))
+        w[s:e] = 1.0
+        if e < hi_r:
+            w[e:hi_r] = np.maximum(w[e:hi_r],
+                                   np.linspace(1.0, 0.0, hi_r - e,
+                                               endpoint=False))
+    return w
 
 
 def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,
@@ -193,7 +233,7 @@ def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,
     import jax
     import jax.numpy as jnp
 
-    from ..corrupt import silent_frame_columns, training_stripes
+    from ..corrupt import mask_to_bad_columns, training_stripes
     from ..methods.neural import UNetTrainConfig
     from ..ops import istft, stft, torch_stft_config
     from ..ops.stft import magphase, polar
@@ -211,13 +251,9 @@ def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,
             sub, sample_mask = prepped[i][4], prepped[i][7]
             z = stft(jnp.asarray(sub), scfg)
             mag, phase = magphase(z)
-            # same explicit-gap column mapping the sequential api path uses
-            # (a 0/1 mask pseudo-signal through the silent-fraction scan)
-            bad = np.zeros(mag.shape[1], bool)
-            bad[silent_frame_columns(sample_mask.astype(np.float32),
-                                     mag.shape[1], scfg.hop,
-                                     threshold=0.5,
-                                     silent_fraction=0.8)] = True
+            # the ONE explicit-gap column mapping definition, shared with
+            # the sequential api path (corrupt.mask_to_bad_columns)
+            bad = mask_to_bad_columns(sample_mask, mag.shape[1], scfg.hop)
             keep = np.broadcast_to(~bad[None, :], mag.shape)
             # same stripes the sequential api path would draw (same key)
             syn = training_stripes(jax.random.PRNGKey(seed),

@@ -294,3 +294,21 @@ def test_oversize_body_rejected_413(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 413
+
+
+def test_gp_window_doubling_bounded(server, tmp_path):
+    """A damage span too big for the requested GP window makes plan_windows
+    double the window past the 20000-sample O(n^3) ceiling — the server
+    must refuse with a 400 BEFORE any GP fit runs, not let the doubled
+    window smuggle an enormous kernel solve under the restore lock."""
+    sr, n = 8000, 120_000
+    t = np.arange(n)
+    x = (0.6 * np.sin(2 * np.pi * 1.5 * t / sr)).astype(np.float32)
+    x[30_000:70_000] = 0.0              # 40k-sample hole
+    p = tmp_path / "big_hole.wav"
+    save_wav_int16(x, sr, str(p))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/api/restore?method=gp&window_s=0.5"
+              f"&gaps=30000-70000", p.read_bytes())
+    assert e.value.code == 400
+    assert "window" in json.loads(e.value.read())["error"]

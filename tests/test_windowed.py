@@ -242,3 +242,50 @@ def test_windowed_gp_on_long_file():
     g = slice(*gaps[0])
     assert (np.mean((out[g] - clean[g]) ** 2)
             < np.mean((dmg[g] - clean[g]) ** 2))
+
+
+def test_windowed_out_of_range_gap_clamped():
+    """A span poking past the clip end is clamped (api.restore's semantics),
+    not silently dropped — same request must not behave differently with
+    and without window_s."""
+    clean, dmg, sr, _ = _long_clip(n=48_000, gaps=((47_000, 48_000),))
+    out = restore_windowed(dmg, sr, method="linear", window_s=1.0,
+                           gaps=[(47_000, 48_100)])
+    # before the clamp the whole span was dropped and the zeros returned
+    # untouched; now the tail is filled (left-anchored, no right neighbor)
+    assert np.abs(out[47_000:48_000]).min() > 0.01
+    np.testing.assert_array_equal(out[:46_900], dmg[:46_900])
+
+
+def test_windowed_reflect_pad_mirrors_gap_validity():
+    """A tail gap whose reflect-pad mirrors its own zeros: the mirrored
+    copies must be marked damaged too, or linear anchors the fill's right
+    edge on fake silence and ramps to zero."""
+    sr, n = 8000, 6000
+    dmg = np.full(n, 0.5, np.float32)
+    dmg[5500:] = 0.0                      # tail gap, padded window mirrors it
+    out = restore_windowed(dmg, sr, method="linear", window_s=1.0,
+                           gaps=[(5500, 6000)])
+    # both neighbors of the hole are 0.5 -> fill must stay near 0.5; a
+    # mirrored-zero anchor would ramp the tail toward 0
+    assert out[5500:6000].min() > 0.4
+
+
+def test_windowed_fully_damaged_clip_stays_finite():
+    """Explicit gaps covering every sample: the U-Net's masked-loss
+    denominator is 0 — the output must degrade gracefully, never NaN."""
+    sr, n = 8000, 4096
+    dmg = np.zeros(n, np.float32)
+    out = restore_windowed(dmg, sr, method="unet", window_s=0.5,
+                           gaps=[(0, n)], epochs=2)
+    assert np.isfinite(out).all()
+
+
+def test_windowed_max_window_refuses_oversized_plan():
+    """max_window binds the PLANNED window (after power-of-two doubling),
+    the guard live.py relies on for GP's O(n^3) ceiling."""
+    sr = 8000
+    clean, dmg, sr, _ = _long_clip(n=480_000, gaps=((100_000, 140_000),))
+    with pytest.raises(ValueError, match="window"):
+        restore_windowed(dmg, sr, method="gp", window_s=0.5,
+                         gaps=[(100_000, 140_000)], max_window=20_000)
