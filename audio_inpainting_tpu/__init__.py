@@ -24,5 +24,6 @@ __version__ = "0.1.0"
 
 from .api import restore  # noqa: E402  (uniform L3 contract)
 from .methods.windowed import restore_windowed  # noqa: E402
+from .methods.streaming import StreamRestorer, restore_stream  # noqa: E402
 
-__all__ = ["restore", "restore_windowed"]
+__all__ = ["restore", "restore_windowed", "StreamRestorer", "restore_stream"]

@@ -1,0 +1,258 @@
+"""Streaming restoration: bounded-latency inpainting of unbounded streams.
+
+Beyond-reference capability, and the natural end of the serving ladder
+(single file -> corpus `serve` -> live HTTP -> unbounded stream). The
+reference operates on one whole 10 s clip per script run; this module
+restores audio that arrives in chunks of ANY size — a live feed, a tape
+transfer, an hours-long broadcast — emitting restored samples as soon as
+they are final and never holding more than O(window) history.
+
+TPU-native reasoning is the same as methods/windowed.py, sharpened by the
+streaming constraint: every restore runs on a STATIC window shape (the base
+window or a power-of-two multiple, capped), so XLA compiles log-many
+programs for the whole stream and every later window reuses them. Work is
+O(damage), not O(stream).
+
+Contract
+--------
+- Clean samples pass through BIT-IDENTICAL, in order, exactly once.
+- Output is invariant to how the stream is chunked (1-sample feeds and one
+  big feed produce the same bytes): windows are planned in ABSOLUTE stream
+  coordinates, and a damage group is only restored once enough context has
+  arrived that its window placement can never change.
+- Latency is bounded: a clean stream is emitted within ``margin`` samples
+  + the trailing sub-threshold run (a run touching the buffer end may still
+  grow into damage, so it is held); a detected gap is held only until
+  ``window``-scale right context arrives. Monster gaps beyond the window
+  cap are restored in fixed-size tiles so even an unbounded silence cannot
+  grow the buffer without bound.
+
+    rest = StreamRestorer(sr, method="ar")
+    for chunk in source:
+        sink(rest.feed(chunk))
+    sink(rest.flush())
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .windowed import _merge_close, composite_weight
+
+
+class StreamRestorer:
+    """Incremental windowed restorer over the `api.restore` facade.
+
+    sr/method/window_s/context/margin/threshold/seed/cfg_kwargs mean exactly
+    what they mean for methods/windowed.restore_windowed. max_doublings caps
+    an oversized damage group's window at ``window * 2**max_doublings``;
+    damage wider than the cap is restored in cap-sized tiles (each tile sees
+    the rest of the span as damage via the foreign-gap mask), which bounds
+    both compile count and buffer memory for arbitrarily long dropouts.
+    """
+
+    def __init__(self, sr: int, method: str = "linear", *,
+                 window_s: float = 10.0, context: int = 5000,
+                 margin: int = 50, threshold: float = 1e-4, seed: int = 0,
+                 max_doublings: int = 3, **cfg_kwargs):
+        self.sr = sr
+        self.method = method
+        self.margin = int(margin)
+        self.threshold = threshold
+        self.seed = seed
+        self.cfg_kwargs = cfg_kwargs
+        self.window = max(int(round(window_s * sr)), 256)
+        self.ctx = max(min(context, self.window // 8), 1)
+        self.cap = self.window << max(int(max_doublings), 0)
+        # tile length for spans beyond the cap: a full-cap window fits one
+        # tile plus its context on each side
+        self.tile = self.cap - 2 * self.ctx
+
+        self._buf = np.zeros(0, np.float32)    # raw input (never mutated)
+        self._out = np.zeros(0, np.float32)    # fills composited over raw
+        self._base = 0                         # absolute index of _buf[0]
+        self._total = 0                        # absolute samples received
+        self._emit = 0                         # absolute emit watermark
+        self._filled: list[tuple[int, int]] = []   # restored absolute spans
+        self._ended = False
+
+    # ------------------------------------------------------------- public
+
+    def feed(self, chunk) -> np.ndarray:
+        """Append samples; return every restored sample that is now final."""
+        if self._ended:
+            raise RuntimeError("stream already flushed")
+        chunk = np.asarray(chunk, np.float32)
+        self._buf = np.concatenate([self._buf, chunk])
+        self._out = np.concatenate([self._out, chunk])
+        self._total += len(chunk)
+        return self._advance(final=False)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: restore what remains and emit everything."""
+        if self._ended:
+            return np.zeros(0, np.float32)
+        self._ended = True
+        return self._advance(final=True)
+
+    @property
+    def pending(self) -> int:
+        """Samples received but not yet emitted (the current latency)."""
+        return self._total - self._emit
+
+    # ------------------------------------------------------------ engine
+
+    def _detect(self) -> tuple[list[tuple[int, int]], int]:
+        """(merged absolute damage spans, absolute trailing-run start).
+
+        The trailing run is ANY sub-threshold suffix (even under the gap
+        detector's min_len) — it may still grow into damage, so everything
+        from it on is unsafe to finalize or emit."""
+        from ..corrupt import find_gaps
+
+        thr = max(self.threshold, 0.01)
+        gaps = [(s + self._base, e + self._base)
+                for s, e in find_gaps(self._buf, threshold=thr, min_len=100)]
+        quiet = np.abs(self._buf) < thr
+        run = 0
+        if len(quiet) and quiet[-1]:
+            flips = np.flatnonzero(~quiet)
+            run = len(quiet) if flips.size == 0 else len(quiet) - 1 - flips[-1]
+        return _merge_close(gaps, 2 * self.margin), self._total - run
+
+    def _geometry(self, s0: int, e1: int) -> tuple[int, int]:
+        """Window (w0, size) for a span, absolute coords, capped doubling."""
+        span = e1 - s0
+        size = self.window
+        while span + 2 * self.ctx > size and size < self.cap:
+            size *= 2
+        w0 = max(0, s0 - (size - span) // 2)
+        return w0, size
+
+    def _pieces(self, s0: int, e1: int) -> list[tuple[int, int]]:
+        """Split a span beyond the cap into tiles on the ABSOLUTE tile grid
+        (k*tile boundaries, not s0-relative): history trimming can truncate
+        a re-detected span's left edge, and grid alignment keeps the
+        remaining pieces' identities — and therefore their fills — bit-
+        identical regardless of where the truncation landed."""
+        if e1 - s0 + 2 * self.ctx <= self.cap:
+            return [(s0, e1)]
+        return [(max(s0, k * self.tile), min((k + 1) * self.tile, e1))
+                for k in range(s0 // self.tile,
+                               -(-e1 // self.tile))]
+
+    def _advance(self, final: bool) -> np.ndarray:
+        spans, tail_start = self._detect()
+        blockers: list[tuple[int, int]] = []
+
+        for s0, e1 in spans:
+            for cs, ce in self._pieces(s0, e1):
+                if ce <= self._emit:
+                    continue                     # already emitted = final
+                if any(fs <= cs and ce <= fe for fs, fe in self._filled):
+                    continue                     # already restored
+                w0, size = self._geometry(cs, ce)
+                # a piece is final when its window is fully buffered AND its
+                # identity can never change: either 2*margin of loud samples
+                # follow it (no future merge can absorb it), or a full tile
+                # of known silence follows it inside an oversized span (the
+                # tile grid is absolute, so growth only appends pieces)
+                settled = (ce + 2 * self.margin <= tail_start
+                           or e1 - ce >= self.tile)
+                if final or (self._total >= w0 + size and settled):
+                    self._restore_piece(cs, ce, w0, size, spans)
+                else:
+                    blockers.append((cs, ce))
+
+        if final:
+            watermark = self._total
+        else:
+            watermark = self._total - self.margin
+            # a sub-detection-length quiet suffix may still grow into
+            # damage: hold it (and margin before it). A DETECTED ongoing
+            # span's samples are all owned by pieces — filled ones are
+            # final and emit; unfinished ones are blockers below — so a
+            # monster dropout streams out tile by tile instead of pinning
+            # the watermark at its start.
+            if (tail_start < self._total
+                    and not any(e1 >= self._total for _, e1 in spans)):
+                watermark = min(watermark, tail_start - self.margin)
+            if blockers:
+                watermark = min(watermark, min(b[0] for b in blockers)
+                                - self.margin)
+        watermark = max(watermark, self._emit)
+
+        lo = self._emit - self._base
+        hi = watermark - self._base
+        out = self._out[lo:hi].copy()
+        self._emit = watermark
+
+        # retention: keep cap history behind the watermark (a future gap
+        # just past it can reach back (cap - span)/2 < cap), and never trim
+        # into an unrestored blocker's window
+        floor = self._emit - self.cap
+        for cs, ce in blockers:
+            floor = min(floor, self._geometry(cs, ce)[0])
+        floor = max(floor, self._base)
+        if floor > self._base:
+            drop = floor - self._base
+            self._buf = self._buf[drop:]
+            self._out = self._out[drop:]
+            self._base = floor
+            self._filled = [(fs, fe) for fs, fe in self._filled
+                            if fe > floor - self.cap]
+        return out
+
+    def _restore_piece(self, cs: int, ce: int, w0: int, size: int,
+                       spans: list[tuple[int, int]]) -> None:
+        """Restore ONE damage piece on its static window and composite the
+        fill into _out (the same extraction/masking/composite contract as
+        restore_windowed: foreign damage masked, validity mirrored through
+        any reflect padding, margin crossfades at the piece boundary)."""
+        from .. import api
+
+        hi = min(w0 + size, self._total)
+        bl, bh = w0 - self._base, hi - self._base
+        sub = self._buf[bl:bh].copy()
+        mask = np.ones(hi - w0, bool)
+        for s, e in spans:
+            ls, le = max(s, w0) - w0, min(e, hi) - w0
+            if ls < le:
+                mask[ls:le] = False
+        if hi - w0 < size:                       # end of stream: reflect-pad
+            pad = size - (hi - w0)
+            sub = np.pad(sub, (0, pad), mode="reflect")
+            mask = np.pad(mask, (0, pad), mode="reflect")
+        flips = np.diff(mask.astype(np.int8))
+        starts = (np.flatnonzero(flips == -1) + 1).tolist()
+        ends = (np.flatnonzero(flips == 1) + 1).tolist()
+        if not mask[0]:
+            starts.insert(0, 0)
+        if not mask[-1]:
+            ends.append(size)
+        local = list(zip(starts, ends))
+
+        restored = np.asarray(api.restore(
+            sub, self.sr, method=self.method, gaps=local, mask=mask,
+            threshold=self.threshold, seed=self.seed, **self.cfg_kwargs),
+            np.float32)
+
+        w = composite_weight(size, [(cs - w0, ce - w0)], self.margin)
+        m = hi - w0
+        seg = slice(bl, bh)
+        self._out[seg] = (1.0 - w[:m]) * self._out[seg] + w[:m] * restored[:m]
+        self._filled.append((cs, ce))
+
+
+def restore_stream(chunks, sr: int, method: str = "linear",
+                   **kwargs):
+    """Generator convenience: yield restored chunks for an iterable of
+    input chunks (see StreamRestorer for the contract)."""
+    rest = StreamRestorer(sr, method, **kwargs)
+    for chunk in chunks:
+        out = rest.feed(chunk)
+        if len(out):
+            yield out
+    out = rest.flush()
+    if len(out):
+        yield out
