@@ -248,5 +248,10 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry() -> None:  # pragma: no cover - console_scripts shim
+    """`audio-inpainting-tpu` console entry point (pyproject [project.scripts])."""
+    raise SystemExit(main())
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

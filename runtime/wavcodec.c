@@ -87,7 +87,8 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
         return PyErr_Format(PyExc_ValueError, "%s: %s", path, err);
     }
 
-    if (w.bits != 8 && w.bits != 16 && w.bits != 24 && w.bits != 32) {
+    if (w.bits != 8 && w.bits != 16 && w.bits != 24 && w.bits != 32 &&
+        w.bits != 64) {
         /* reject before bytes_per to avoid a divide-by-zero SIGFPE on
          * malformed fmt chunks declaring bits_per_sample < 8 */
         int bits = w.bits, format = w.audio_format;
@@ -152,6 +153,15 @@ static PyObject *load_mono_normalized(PyObject *self, PyObject *args) {
         }
     } else if (w.audio_format == 3 && w.bits == 32) {
         const float *s = (const float *)d;
+        for (size_t i = 0; i < n_frames; i++) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; c++) acc += s[i * ch + c];
+            mono[i] = (float)(acc / ch);
+        }
+    } else if (w.audio_format == 3 && w.bits == 64) {
+        /* IEEE float64: the numpy fallback reads these (io/wav.py), so the
+         * native path must too — both-paths format parity (PARITY.md) */
+        const double *s = (const double *)d;
         for (size_t i = 0; i < n_frames; i++) {
             double acc = 0.0;
             for (int c = 0; c < ch; c++) acc += s[i * ch + c];

@@ -94,3 +94,28 @@ def test_native_float32_wav(tmp_path):
     sr, a = W._NATIVE.load_mono_normalized(p)
     a = np.frombuffer(a, dtype=np.float32)
     np.testing.assert_allclose(a, x / np.abs(x).max(), atol=1e-6)
+
+
+@needs_native
+def test_native_float64_matches_numpy(tmp_path):
+    # IEEE float64: numpy path reads these via np.frombuffer; the native
+    # codec must accept them too (both-paths format parity, PARITY.md)
+    rng = np.random.RandomState(7)
+    x64 = rng.randn(3000, 2) * 0.3
+    p = str(tmp_path / "f64.wav")
+    # write_wav downcasts float64 -> float32, so build the file by hand
+    import struct
+
+    body = x64.astype("<f8").tobytes()
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 8000,
+                                      8000 * 16, 16, 64))
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+    sr_n, a = W._NATIVE.load_mono_normalized(p)
+    a = np.frombuffer(a, dtype=np.float32)
+    sr_p, data = W.read_wav(p)
+    assert data.dtype == np.float64
+    b = W.peak_normalize(W.to_float_mono(data))
+    assert sr_n == sr_p == 8000
+    np.testing.assert_allclose(a, b, atol=1e-6)
