@@ -95,6 +95,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "batch over the dp mesh)")
     ps.add_argument("--json", action="store_true")
 
+    pst = sub.add_parser("stream", help="restore a raw little-endian float32 "
+                                        "mono PCM stream, stdin -> stdout "
+                                        "(bounded latency, O(damage) work)")
+    pst.add_argument("--sr", type=int, required=True,
+                     help="sample rate of the incoming PCM")
+    pst.add_argument("--method", default="linear",
+                     choices=["linear", "ar", "nmf", "gp", "unet"],
+                     help="per-window restore method (gan/diffusion need "
+                          "clean references/checkpoints - not streamable)")
+    pst.add_argument("--window-s", type=float, default=10.0)
+    pst.add_argument("--chunk", type=int, default=65536,
+                     help="samples per stdin read")
+    pst.add_argument("--margin", type=int, default=50)
+    pst.add_argument("--threshold", type=float, default=1e-4)
+    pst.add_argument("--seed", type=int, default=0)
+
     psc = sub.add_parser("score", help="SNR/LSD of restored WAVs vs originals")
     psc.add_argument("restored_dir")
     psc.add_argument("originals_dir")
@@ -128,6 +144,17 @@ def _emit(name: str, results: dict, as_json: bool):
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when a site hook already imported jax (some
+    # images register a PJRT plugin from sitecustomize at interpreter start,
+    # and env-based platform selection is silently pinned by then). A config
+    # update before any computation re-asserts the documented env contract;
+    # in a vanilla environment it is a no-op.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     args = build_parser().parse_args(argv)
 
     if args.cmd == "check":
@@ -177,6 +204,45 @@ def main(argv=None) -> int:
         save_wav_int16(out, sr, args.output_wav)
         print(f"restored {args.input_wav} -> {args.output_wav} "
               f"({args.method}, {time.time() - t_start:.1f}s)")
+        return 0
+    if args.cmd == "stream":
+        import numpy as np
+
+        from ..methods.streaming import StreamRestorer
+
+        rest = StreamRestorer(args.sr, method=args.method,
+                              window_s=args.window_s, margin=args.margin,
+                              threshold=args.threshold, seed=args.seed)
+        stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+        carry = b""   # pipe reads can split a sample's 4 bytes
+        total_in = total_out = 0
+        while True:
+            buf = stdin.read(args.chunk * 4)
+            if not buf:
+                break
+            carry += buf
+            usable = len(carry) - len(carry) % 4
+            if not usable:
+                continue
+            x = np.frombuffer(carry[:usable], "<f4")
+            carry = carry[usable:]
+            total_in += len(x)
+            out = rest.feed(x)
+            if len(out):
+                total_out += len(out)
+                stdout.write(np.asarray(out, "<f4").tobytes())
+                stdout.flush()
+        if carry:
+            print(f"warning: {len(carry)} trailing bytes are not a whole "
+                  "float32 sample; dropped", file=sys.stderr)
+        out = rest.flush()
+        if len(out):
+            total_out += len(out)
+            stdout.write(np.asarray(out, "<f4").tobytes())
+            stdout.flush()
+        print(f"streamed {total_in} samples in, {total_out} out "
+              f"({args.method}, {time.time() - t_start:.1f}s)",
+              file=sys.stderr)
         return 0
     if args.cmd == "score":
         import glob
