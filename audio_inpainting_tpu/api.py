@@ -18,6 +18,13 @@ from __future__ import annotations
 
 import numpy as np
 
+# The facade's AR posture: the reference's multi-gap texture setup
+# (main3_AR_text_mask.py — order 30, Ridge alpha 0.5, 1000-sample contexts,
+# progressive context reuse ~ passes=2). Shared with the windowed engine's
+# batched AR path (methods/windowed.py) so the two can never drift.
+AR_DEFAULTS = {"order": 30, "alpha": 0.5, "texture": True,
+               "context_len": 1000, "passes": 2}
+
 
 def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
             threshold: float = 1e-4, seed: int = 0, original=None,
@@ -80,8 +87,7 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         from .methods import ARConfig, ar_restore_gaps
 
         g = _gaps()
-        cfg = ARConfig(**{"order": 30, "alpha": 0.5, "texture": True,
-                          "context_len": 1000, "passes": 2, **cfg_kwargs})
+        cfg = ARConfig(**{**AR_DEFAULTS, **cfg_kwargs})
         return np.asarray(ar_restore_gaps(jnp.asarray(damaged), g, cfg,
                                           key=jax.random.PRNGKey(seed)))
 

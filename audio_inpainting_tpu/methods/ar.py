@@ -66,6 +66,32 @@ class ARConfig:
     # main3_AR_text_mask.py:99), i.e. min_rows = 1; larger values are an
     # optional stricter guard beyond reference behavior.
     min_rows: int = 1
+    # Shape bucketing: pad the gap batch to a power of two >= 8 (with
+    # zero-length dummy gaps that fit garbage models but paste nothing) and
+    # round the extrapolation length up to a power of two >= 1024, so the
+    # set of compiled XLA programs over arbitrary damage is LOGARITHMIC
+    # instead of one per distinct (gap count, max gap length). Off by
+    # default — the official bench paths compile exact shapes; the
+    # windowed/streaming engines turn it on (their design is compile-once
+    # reuse across windows, and a live stream cannot afford a fresh compile
+    # per novel gap length). Bucketing changes the texture-noise draw
+    # SHAPES, so bucketed fills differ sample-wise from unbucketed ones
+    # (same distribution, same seeds-for-same-shapes determinism).
+    bucket: bool = False
+
+
+_GAP_PAD_FLOOR = 8      # bucketed gap-batch sizes: 8, 16, 32, ...
+_LEN_FLOOR = 1024       # bucketed extrapolation lengths: 1024, 2048, ...
+
+
+def bucket_gap_count(n_gaps: int) -> int:
+    """Bucketed gap-batch size: power of two >= max(n_gaps, 8)."""
+    return max(_GAP_PAD_FLOOR, 1 << (max(1, n_gaps) - 1).bit_length())
+
+
+def bucket_max_len(max_len: int) -> int:
+    """Bucketed extrapolation length: power of two >= max(max_len, 1024)."""
+    return max(_LEN_FLOOR, 1 << (max(1, max_len) - 1).bit_length())
 
 
 def _hankel_indices(context_len: int, order: int) -> np.ndarray:
@@ -309,6 +335,8 @@ def _restore_once(signal: jax.Array, starts: np.ndarray, ends: np.ndarray,
     from ..ops.pallas.ar_scan import pallas_supported
 
     max_len = int(np.max(ends - starts))
+    if cfg.bucket:
+        max_len = bucket_max_len(max_len)
     use_pallas = bool(pallas_supported()) and cfg.order <= 128
     return _restore_once_fused(signal, jnp.asarray(starts), jnp.asarray(ends),
                                key, cfg, max_len, use_pallas, len(starts))
@@ -329,9 +357,78 @@ def ar_restore_gaps(signal, gaps: list[tuple[int, int]], cfg: ARConfig,
     signal = jnp.asarray(signal, jnp.float32)
     starts = np.array([s for s, _ in gaps], dtype=np.int32)
     ends = np.array([e for _, e in gaps], dtype=np.int32)
+    if cfg.bucket:
+        # zero-length dummy gaps: their models fit on whatever sits at the
+        # window start, but in_gap is empty so they paste nothing
+        pad = bucket_gap_count(len(gaps)) - len(gaps)
+        starts = np.pad(starts, (0, pad))
+        ends = np.pad(ends, (0, pad))
     out = signal
     for p in range(cfg.passes):
         out, _ = _restore_once(out, starts, ends, cfg, jax.random.fold_in(key, p))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "n_gaps"))
+def _restore_windows_fused(signals, starts, ends, key, cfg: ARConfig,
+                           max_len: int, n_gaps: int):
+    """One pass over a batch of same-size windows: vmap of the fused
+    single-window program. ``key`` is closed over (NOT vmapped), so every
+    window draws the texture noise the sequential per-window path draws
+    with the same seed — batched == sequential."""
+    def one(sig, st, en):
+        out, _ = _restore_once_fused(sig, st, en, key, cfg, max_len,
+                                     False, n_gaps)
+        return out
+
+    return jax.vmap(one)(signals, starts, ends)
+
+
+def ar_restore_gaps_windows(signals, gaps_list, cfg: ARConfig,
+                            key: jax.Array | int = 0) -> jax.Array:
+    """Restore gaps in a BATCH of equal-length windows as ONE fused program.
+
+    The windowed/streaming engines' AR lift (the U-Net already batches via
+    parallel/batch.py): a long file's many same-size damage windows restore
+    in ~the cost of one dispatch instead of one `api.restore` entry per
+    window. signals: (W, n) float32 windows; gaps_list: per-window
+    window-local [(s, e)] spans (every window's list non-empty).
+
+    Shape bucketing is forced on, and all windows must land in the SAME
+    (gap-count, max-len) bucket — callers group windows by
+    (size, bucket_gap_count, bucket_max_len) first (methods/windowed.py).
+    Every window uses the same ``key`` the sequential path
+    (api.restore(..., seed=seed) per window) uses, so batched ==
+    sequential-with-bucketing per window; tests pin it
+    (tests/test_windowed.py).
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    if any(not g for g in gaps_list):
+        raise ValueError("every window must have at least one gap")
+    signals = jnp.asarray(signals, jnp.float32)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, bucket=True)
+    gpads = {bucket_gap_count(len(g)) for g in gaps_list}
+    lens = {bucket_max_len(max(e - s for s, e in g)) for g in gaps_list}
+    if len(gpads) != 1 or len(lens) != 1:
+        raise ValueError(
+            f"windows span multiple shape buckets (gap counts {gpads}, "
+            f"max lens {lens}); group by bucket first")
+    gpad, max_len = gpads.pop(), lens.pop()
+    W = signals.shape[0]
+    starts = np.zeros((W, gpad), np.int32)
+    ends = np.zeros((W, gpad), np.int32)
+    for i, g in enumerate(gaps_list):
+        starts[i, :len(g)] = [s for s, _ in g]
+        ends[i, :len(g)] = [e for _, e in g]
+    out = signals
+    for p in range(cfg.passes):
+        out = _restore_windows_fused(out, jnp.asarray(starts),
+                                     jnp.asarray(ends),
+                                     jax.random.fold_in(key, p), cfg,
+                                     max_len, gpad)
     return out
 
 

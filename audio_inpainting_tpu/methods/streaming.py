@@ -55,6 +55,11 @@ class StreamRestorer:
                  window_s: float = 10.0, context: int = 5000,
                  margin: int = 50, threshold: float = 1e-4, seed: int = 0,
                  max_doublings: int = 3, **cfg_kwargs):
+        if method == "ar":
+            # same engine policy as methods/windowed.py: bucketed shapes so
+            # novel gap lengths reuse compiled programs instead of stalling
+            # a live stream on a fresh XLA compile (see ARConfig.bucket)
+            cfg_kwargs.setdefault("bucket", True)
         self.sr = sr
         self.method = method
         self.margin = int(margin)
@@ -77,6 +82,90 @@ class StreamRestorer:
         self._ended = False
 
     # ------------------------------------------------------------- public
+
+    def warmup(self, max_gap_s: float | None = None, *,
+               max_runs: int = 8) -> int:
+        """Precompile every window program a live stream can hit, BEFORE
+        the first ``feed()`` — so the first real gap never stalls the
+        stream on XLA compiles (measured minutes for a cold AR/U-Net
+        window program on the v5e; BASELINE.md "Windowed long-file
+        restore").
+
+        For each window size this restorer can plan (the base window and
+        its doublings up to the cap) — and, for AR, whose program shape
+        also depends on the damage shape, for each (gap-count, run-length)
+        bucket (``ARConfig.bucket``, on by default inside the engines) —
+        synthesizes one representative damaged window and restores it
+        through the SAME ``api.restore`` call ``_restore_piece`` makes.
+        The programs compiled here are therefore byte-for-byte the ones
+        live damage will need; tests/test_streaming.py pins that a
+        warmed-up stream compiles nothing new.
+
+        max_gap_s: bound on the longest damage span the caller expects
+        (fewer programs, faster warmup); None covers every shape up to the
+        window cap. max_runs: most distinct damage runs expected per
+        window (AR only; buckets are powers of two from 8 — denser damage
+        than this compiles one more program on first encounter).
+
+        "linear" compiles nothing; "gp" is excluded from the guarantee
+        (its fit shape follows the per-window valid-sample count, which
+        does not bucket). Returns the number of windows exercised.
+        Idempotent; call any time before (or between) feeds.
+        """
+        if self.method in ("linear", "gp"):
+            return 0
+        from .ar import bucket_gap_count, bucket_max_len
+
+        span_cap = None if max_gap_s is None else max(
+            int(max_gap_s * self.sr), 1)
+        count = 0
+        size = self.window
+        while True:
+            if self.method == "ar":
+                run_cap = size if span_cap is None else min(size, span_cap)
+                gpad = bucket_gap_count(1)
+                gpad_max = bucket_gap_count(max(int(max_runs), 1))
+                while gpad <= gpad_max:
+                    L = bucket_max_len(1)
+                    lmax = bucket_max_len(run_cap)
+                    while L <= lmax:
+                        count += self._warm_one(size, min(size - 1, L), gpad)
+                        L *= 2
+                    gpad *= 2
+            else:
+                count += self._warm_one(size, max(size // 4, 1), 1)
+            if size >= self.cap:
+                break
+            if span_cap is not None and span_cap + 2 * self.ctx <= size:
+                break          # the planner never doubles past a fit
+            size *= 2
+        return count
+
+    def _warm_one(self, size: int, gap_len: int, n_runs: int) -> int:
+        """Restore one synthetic window: a centered ``gap_len`` run plus
+        ``n_runs - 1`` single-sample runs (so the gap-count bucket is
+        ``n_runs``), on a loud deterministic carrier."""
+        t = np.arange(size, dtype=np.float32)
+        sub = (0.5 * np.sin(2.0 * np.pi * 220.0 / self.sr * t)
+               + 0.25 * np.sin(2.0 * np.pi * 733.0 / self.sr * t)
+               ).astype(np.float32)
+        s0 = max((size - gap_len) // 2, 1)
+        runs = [(s0, min(s0 + gap_len, size))]
+        pos = 0
+        step = max(2 * self.margin + 64, 256)
+        while len(runs) < n_runs:
+            if pos + 1 >= s0:    # keep extras clear of the main run
+                break
+            runs.insert(len(runs) - 1, (pos, pos + 1))
+            pos += step
+        runs.sort()
+        mask = np.ones(size, bool)
+        for s, e in runs:
+            mask[s:e] = False
+        for s, e in runs:
+            sub[s:e] = 0.0
+        self._call_method(sub, runs, mask)
+        return 1
 
     def feed(self, chunk) -> np.ndarray:
         """Append samples; return every restored sample that is now final."""
@@ -232,16 +321,25 @@ class StreamRestorer:
             ends.append(size)
         local = list(zip(starts, ends))
 
-        restored = np.asarray(api.restore(
-            sub, self.sr, method=self.method, gaps=local, mask=mask,
-            threshold=self.threshold, seed=self.seed, **self.cfg_kwargs),
-            np.float32)
+        restored = self._call_method(sub, local, mask)
 
         w = composite_weight(size, [(cs - w0, ce - w0)], self.margin)
         m = hi - w0
         seg = slice(bl, bh)
         self._out[seg] = (1.0 - w[:m]) * self._out[seg] + w[:m] * restored[:m]
         self._filled.append((cs, ce))
+
+    def _call_method(self, sub: np.ndarray, local: list[tuple[int, int]],
+                     mask: np.ndarray) -> np.ndarray:
+        """The ONE `api.restore` invocation shape both the live path
+        (`_restore_piece`) and `warmup` go through — warmup's whole value
+        is that it compiles exactly the programs this call will need."""
+        from .. import api
+
+        return np.asarray(api.restore(
+            sub, self.sr, method=self.method, gaps=local, mask=mask,
+            threshold=self.threshold, seed=self.seed, **self.cfg_kwargs),
+            np.float32)
 
 
 def restore_stream(chunks, sr: int, method: str = "linear",

@@ -105,11 +105,15 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     fills are energy-matched, not waveform-exact (reference
     main3_AR_text.py:58-82), so judge them by listening/local-SNR, not MSE.
 
-    batch_windows (method="unet" only): restore all same-size windows as
-    ONE dp-mesh batch (parallel/batch.py — one independent per-window net,
-    windows sharded over ``mesh``; default 1-device mesh). Every window
-    keeps the sequential path's PRNGKey(seed), so batched == per-window up
-    to program-structure f32 ulp (pinned at 1e-5 in tests, like
+    batch_windows (methods "unet" and "ar"): restore all same-size windows
+    as ONE batch. unet: a dp-mesh batch (parallel/batch.py — one
+    independent per-window net, windows sharded over ``mesh``; default
+    1-device mesh). ar: one vmapped fused fit+extrapolate+paste program per
+    (size, gap-count bucket, max-len bucket) class
+    (methods.ar.ar_restore_gaps_windows) — a many-gap long file pays ~one
+    dispatch per class instead of one per window. Every window keeps the
+    sequential path's PRNGKey(seed), so batched == per-window up to
+    program-structure f32 ulp (pinned at 1e-5 in tests, like
     tests/test_batch_restore.py's batch-vs-single pin).
     """
     from .. import api
@@ -118,6 +122,12 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
     damaged = np.asarray(damaged, np.float32)
     n = len(damaged)
     window = max(int(round(window_s * sr)), 256)
+    if method == "ar":
+        # AR shape bucketing on by default inside the engines: one compiled
+        # program per (window size, gap-count bucket, max-len bucket) class
+        # instead of one per novel gap length — the compile-once-reuse
+        # contract the windowed design exists for (see ARConfig.bucket)
+        cfg_kwargs.setdefault("bucket", True)
     if gaps is None:
         gaps = find_gaps(damaged, threshold=max(threshold, 0.01), min_len=100)
     # clamp explicit spans into the clip (same semantics as api.restore's
@@ -183,6 +193,9 @@ def restore_windowed(damaged, sr: int, method: str = "ar", *,
         restored_all = _restore_windows_unet_batched(
             prepped, sr, threshold=threshold, seed=seed, mesh=mesh,
             **cfg_kwargs)
+    elif batch_windows and method == "ar" and len(prepped) > 1:
+        restored_all = _restore_windows_ar_batched(
+            prepped, seed=seed, **cfg_kwargs)
     else:
         restored_all = [np.asarray(api.restore(
             sub, sr, method=method, gaps=local, mask=mask,
@@ -218,6 +231,38 @@ def composite_weight(size: int, rel_gaps: list[tuple[int, int]],
                                    np.linspace(1.0, 0.0, hi_r - e,
                                                endpoint=False))
     return w
+
+
+def _restore_windows_ar_batched(prepped, *, seed: int, **cfg_kwargs):
+    """Batch AR over same-shape-bucket windows via ar_restore_gaps_windows.
+
+    Groups the prepped windows by (size, bucketed gap count, bucketed max
+    run length) — with ARConfig.bucket on (the engines' default) those
+    classes are logarithmic in window/damage scale — and restores each
+    class in one vmapped program. Every window keeps the sequential path's
+    config (api.AR_DEFAULTS) and PRNGKey(seed), so batched == sequential.
+    Returns the restored windows in ``prepped`` order.
+    """
+    from ..api import AR_DEFAULTS
+    from .ar import (ARConfig, ar_restore_gaps_windows, bucket_gap_count,
+                     bucket_max_len)
+
+    cfg = ARConfig(**{**AR_DEFAULTS, "bucket": True, **cfg_kwargs})
+    by_class: dict[tuple[int, int, int], list[int]] = {}
+    for i, (_, size, _, _, _, _, local, _) in enumerate(prepped):
+        key = (size, bucket_gap_count(len(local)),
+               bucket_max_len(max(e - s for s, e in local)))
+        by_class.setdefault(key, []).append(i)
+
+    results: list = [None] * len(prepped)
+    for idxs in by_class.values():
+        subs = np.stack([prepped[i][4] for i in idxs])
+        gaps_list = [prepped[i][6] for i in idxs]
+        out = np.asarray(ar_restore_gaps_windows(subs, gaps_list, cfg,
+                                                 key=seed), np.float32)
+        for j, i in enumerate(idxs):
+            results[i] = out[j]
+    return results
 
 
 def _restore_windows_unet_batched(prepped, sr: int, *, threshold: float,

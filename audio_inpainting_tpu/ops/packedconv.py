@@ -83,47 +83,13 @@ def _band_kernel_gather(k: jax.Array) -> jax.Array:
     return kb.transpose(0, 1, 3, 2, 4).reshape(3, (B + 2) * ci, B * co)
 
 
-def _kbuild_einsum() -> bool:
-    """One-hot-einsum kernel builds (AIT_KBUILD_EINSUM=1): every band/block
-    kernel build becomes ONE dot against a constant one-hot selection tensor
-    instead of a chain of dynamic-update-slices / concats. Bitwise-exact
-    (each output element receives exactly one 1.0*k term). The GAN epoch
-    trace shows ~814 update-slices + ~230 concats per epoch from these
-    builds — this was the op-count A/B for that tail. MEASURED AND REJECTED
-    on v5e: 19.07 ms/epoch vs 12.53 scatter/concat (tools/gan_epoch_time.py,
-    band/packed/flat config) — the one-hot dots have contraction dim 3-4,
-    which pads to full MXU tiles, while XLA compiles the update-slice chains
-    into cheap fusions. Kept for the measurement story + bitwise tests
-    (tests/test_packed.py); do not enable in production."""
-    import os
-
-    return os.environ.get("AIT_KBUILD_EINSUM") == "1"
-
-
-def _onehot_sel(ni: int, nj: int, nd: int, cond, dtype) -> jax.Array:
-    """Constant one-hot selection tensor t[i, j, d] = cond(i, j, d) for the
-    einsum kernel builds. ONE definition shared by the band build, the dk
-    band fold, and the transpose/stride-2 builds, so a fix to the band
-    indexing can never leave forward and backward disagreeing."""
-    import numpy as np
-
-    i = np.arange(ni)[:, None, None]
-    j = np.arange(nj)[None, :, None]
-    d = np.arange(nd)[None, None, :]
-    return jnp.asarray(cond(i, j, d).astype(np.float32), dtype)
-
-
-def _band_sel(dtype) -> jax.Array:
-    """The 3x3 band's selection tensor t[p, j, dw] = (p - j == dw)."""
-    return _onehot_sel(B + 2, B, 3, lambda p, j, d: p - j == d, dtype)
-
-
-def _band_kernel_einsum(k: jax.Array) -> jax.Array:
-    """_band_kernel as one einsum: kb[kh, p*Ci+i, j*Co+o] = k[kh, p-j, i, o]
-    for 0 <= p-j < 3, built by contracting a constant one-hot T[p, j, dw]."""
-    _, _, ci, co = k.shape
-    kb = jnp.einsum("pjd,kdio->kpijo", _band_sel(k.dtype), k)
-    return kb.reshape(3, (B + 2) * ci, B * co)
+# The one-hot-einsum kernel-build forms (AIT_KBUILD_EINSUM) were measured
+# and rejected twice (19.07 vs 12.53 ms/epoch on v5e — the one-hot dots pad
+# their length-3/4 contraction dim to full MXU tiles; numbers in
+# docs/DESIGN.md) and deleted in round 4 (VERDICT r3 #9). The surviving
+# fallback per build is the single-gather form below (AIT_BAND_GATHER=1,
+# 12.82 ms — within noise of the default, and the natural candidate if a
+# future jaxlib changes how update-slice chains fuse).
 
 
 def _band_kernel_auto(k: jax.Array) -> jax.Array:
@@ -131,8 +97,6 @@ def _band_kernel_auto(k: jax.Array) -> jax.Array:
 
     if os.environ.get("AIT_BAND_GATHER") == "1":
         return _band_kernel_gather(k)
-    if _kbuild_einsum():
-        return _band_kernel_einsum(k)
     return _band_kernel(k)
 
 
@@ -187,19 +151,6 @@ def _bwd(res, g):
     co = g.shape[3] // B
     xb = _gather_xb(xp, ci)
     gf = g.reshape(-1, B * co)
-    if _kbuild_einsum():
-        # fold via the same one-hot T as the band build: dk[kh, dw, i, o] =
-        # sum_j dkb[kh, (j+dw)*ci+i, j*co+o]. XLA may reassociate the 8-term
-        # j-sum (f32 ulp vs the sequential sum below); the builds themselves
-        # stay bitwise (one term each).
-        t = _band_sel(jnp.float32)
-        dks = []
-        for kh in range(3):
-            xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
-            dkb = jnp.dot(xf.T, gf, preferred_element_type=jnp.float32)
-            dkb4 = dkb.reshape(B + 2, ci, B, co)
-            dks.append(jnp.einsum("pjd,pijo->dio", t, dkb4))
-        return dx, jnp.stack(dks).astype(k.dtype)
     dk = jnp.zeros((3, 3, ci, co), jnp.float32)
     for kh in range(3):
         xf = xb[:, kh:kh + h].reshape(-1, (B + 2) * ci)
@@ -235,9 +186,9 @@ def dense_band_kernel(k: jax.Array) -> jax.Array:
 
     Why: lanes are 100% occupied (B*C >= 128), XLA's native TPU conv reads
     x once and fuses the surrounding elementwise work — unlike the explicit
-    band-matmul path whose HBM gather dominates, and unlike the Pallas
-    kernels whose opaque custom calls break XLA fusion (see PCONV_USE_PALLAS
-    below). The structural zeros cost extra MXU flops (6.4x at C=16), which
+    band-matmul path whose HBM gather dominates, and unlike the rejected
+    Pallas kernels whose opaque custom calls broke XLA fusion (A/B record
+    in docs/DESIGN.md). The structural zeros cost extra MXU flops (6.4x at C=16), which
     is free in an HBM-bound regime. Autodiff flows through the kernel build
     (dk = the B-occurrence sums), so no custom VJP is needed.
     """
@@ -322,28 +273,14 @@ def conv4x4s2_packed_dense(xp: jax.Array, k: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-# Dispatch for the Pallas band-conv kernels (ops/pallas/pconv.py). Measured
-# OFF: the kernels are individually correct (equivalence-tested) but the GAN
-# epoch REGRESSED 19.2 -> 39.1 ms with them wired in — the opaque custom
-# calls broke XLA's elementwise fusions around each conv (leaky/BN passes
-# became standalone 1.6 ms full-tensor ops) and each pallas_call carries
-# ~0.3 ms of grid/DMA overhead at these shapes (33 tiles x 3 input blocks).
-# The shipped fast path is the dense-packed conv (conv3x3_packed_dense):
-# same band math expressed as ONE plain XLA conv with full 128-lane
-# channels, which XLA fuses end-to-end. Set to True only for kernel A/Bs.
-PCONV_USE_PALLAS = False
-
-
-def _use_pallas() -> bool:
-    """Pallas band conv only on explicit opt-in (module flag or
-    AIT_PCONV_PALLAS=1), single-device TPU (the SPMD partitioner cannot
-    shard the custom call; meshes keep XLA)."""
-    import os
-
-    on = PCONV_USE_PALLAS or os.environ.get("AIT_PCONV_PALLAS") == "1"
-    return (on and jax.default_backend() == "tpu"
-            and jax.device_count() == 1)
-
+# The Pallas band-conv kernels (ops/pallas/pconv.py) were measured and
+# rejected in round 2 (GAN epoch 19.2 -> 39.1 ms: the opaque custom calls
+# broke XLA's elementwise fusions around each conv and each pallas_call
+# carried ~0.3 ms grid/DMA overhead at these shapes) and deleted in round 4
+# (VERDICT r3 #9) after losing a second round of A/Bs; the numbers live in
+# docs/DESIGN.md. The surviving per-op alternative is the dense-kernel twin
+# below (AIT_PACKED_DENSE) — the one form with a measured isolated win
+# (conv4x4s2 0.34 vs 0.61 ms) kept as a documented, switchable fallback.
 
 # Per-op TPU dispatch between the band-matmul packed convs and their
 # dense-kernel twins (one plain XLA conv with the band structure baked into
@@ -374,12 +311,7 @@ def _use_dense(op: str) -> bool:
 
 
 def conv3x3_packed_auto(xp: jax.Array, k: jax.Array) -> jax.Array:
-    """Fastest packed conv per backend (see _use_dense); Pallas only on
-    explicit opt-in."""
-    if _use_pallas():
-        from .pallas.pconv import conv3x3_packed_pl
-
-        return conv3x3_packed_pl(xp, k)
+    """Fastest packed conv per backend (see _use_dense)."""
     if _use_dense("c3"):
         return conv3x3_packed_dense(xp, k)
     return conv3x3_packed(xp, k)
@@ -407,13 +339,9 @@ def conv3x3_packed2_auto(xa: jax.Array, xb_: jax.Array, ka: jax.Array,
 def conv1x1_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     """1x1 conv as one block-diagonal lane matmul. k: (Ci, Co)."""
     ci, co = k.shape
-    if _kbuild_einsum():
-        kd = jnp.einsum("jm,io->jimo", jnp.eye(B, dtype=k.dtype),
-                        k).reshape(B * ci, B * co)
-    else:
-        kd = jnp.zeros((B * ci, B * co), k.dtype)
-        for j in range(B):
-            kd = kd.at[j * ci:(j + 1) * ci, j * co:(j + 1) * co].set(k)
+    kd = jnp.zeros((B * ci, B * co), k.dtype)
+    for j in range(B):
+        kd = kd.at[j * ci:(j + 1) * ci, j * co:(j + 1) * co].set(k)
     y = jnp.einsum("nhwk,kc->nhwc", xp, kd.astype(xp.dtype),
                    preferred_element_type=jnp.float32)
     return y.astype(xp.dtype)
@@ -479,21 +407,15 @@ def conv_transpose2x2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
     kd = jnp.flip(k, (0, 1)).astype(xp.dtype)
     # (B/2*Ci, B*Co) for one row tap dr: out lane (2u+dc)*Co+o <- in lane
     # u*Ci+i with weight k[dr, dc, i, o]
-    if _kbuild_einsum():
-        s = _onehot_sel(B // 2, B, 2, lambda u, m, d: m == 2 * u + d,
-                        kd.dtype)
-        kups = jnp.einsum("umd,rdio->ruimo", s, kd).reshape(
-            2, B // 2 * ci, B * co)
-    else:
-        kups = []
-        for dr in range(2):
-            ku = jnp.zeros((B // 2 * ci, B * co), kd.dtype)
-            for u in range(B // 2):
-                for dc in range(2):
-                    ku = ku.at[u * ci:(u + 1) * ci,
-                               (2 * u + dc) * co:(2 * u + dc + 1) * co].set(
-                                   kd[dr, dc])
-            kups.append(ku)
+    kups = []
+    for dr in range(2):
+        ku = jnp.zeros((B // 2 * ci, B * co), kd.dtype)
+        for u in range(B // 2):
+            for dc in range(2):
+                ku = ku.at[u * ci:(u + 1) * ci,
+                           (2 * u + dc) * co:(2 * u + dc + 1) * co].set(
+                               kd[dr, dc])
+        kups.append(ku)
     lo, hi = xp[..., :B // 2 * ci], xp[..., B // 2 * ci:]
     rows = []
     for dr in range(2):
@@ -532,21 +454,15 @@ def conv4x4s2_packed(xp: jax.Array, k: jax.Array) -> jax.Array:
                         ((0, 0), (0, 0), (0, 1), (0, 0)))
     xb = jnp.concatenate([prev_tail, ev, od, next_head], axis=-1)
     # banded kernel: out lane j*Co+o <- xb lane block p=2j+dw, tap k[kh,dw]
-    if _kbuild_einsum():
-        s = _onehot_sel(2 * B + 2, B, 4, lambda p, j, d: p == 2 * j + d,
-                        kd.dtype)
-        kbs = jnp.einsum("pjd,kdio->kpijo", s, kd).reshape(
-            4, (2 * B + 2) * ci, B * co)
-    else:
-        kbs = []
-        for kh in range(4):
-            kb = jnp.zeros(((2 * B + 2) * ci, B * co), kd.dtype)
-            for j in range(B):
-                for dw in range(4):
-                    p = 2 * j + dw
-                    kb = kb.at[p * ci:(p + 1) * ci,
-                               j * co:(j + 1) * co].add(kd[kh, dw])
-            kbs.append(kb)
+    kbs = []
+    for kh in range(4):
+        kb = jnp.zeros(((2 * B + 2) * ci, B * co), kd.dtype)
+        for j in range(B):
+            for dw in range(4):
+                p = 2 * j + dw
+                kb = kb.at[p * ci:(p + 1) * ci,
+                           j * co:(j + 1) * co].add(kd[kh, dw])
+        kbs.append(kb)
     y = jnp.zeros((n, h_out, wb // 2, B * co), jnp.float32)
     for kh in range(4):
         rows = xb[:, kh:kh + 2 * h_out:2]

@@ -27,8 +27,25 @@ def save_params(params, path: str) -> str:
 
 
 def load_params(path: str):
-    """Load a param pytree saved by save_params."""
-    return _checkpointer().restore(os.path.abspath(path))
+    """Load a param pytree saved by save_params.
+
+    Restores every leaf as a host numpy array, NOT as a jax.Array with the
+    sharding recorded at save time: a checkpoint written on the TPU embeds
+    its device in the sharding file, and restoring that on a CPU-only
+    process (tests, a serving box) fails with "Device TPU v5 lite0 was not
+    found". The committed corpus prior must load anywhere; jit staging
+    re-places the arrays on whatever devices the caller has.
+    """
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckptr = _checkpointer()
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_checkpoint(directory: str, prefix: str = "step_") -> str | None:

@@ -114,3 +114,20 @@ def test_silent_frame_columns_matches_naive():
         if np.mean(is_gap[w0:w1]) > 0.9:
             expected.append(c)
     np.testing.assert_array_equal(got, np.array(expected))
+
+
+def test_synth_music_clip_deterministic_and_bounded():
+    """Corpus generator (corrupt/synth.py): deterministic per seed,
+    peak-normalized, seed-distinct — the material the committed diffusion
+    prior trains on (tools/train_diffusion_prior.py)."""
+    from audio_inpainting_tpu.corrupt.synth import synth_music_clip
+
+    a = synth_music_clip(5, sr=8000, seconds=1.0)
+    b = synth_music_clip(5, sr=8000, seconds=1.0)
+    c = synth_music_clip(6, sr=8000, seconds=1.0)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8000,) and a.dtype == np.float32
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() <= 1.0 + 1e-6
+    assert np.abs(a).max() > 0.99          # peak-normalized
+    assert not np.array_equal(a, c)        # seeds differ

@@ -121,44 +121,3 @@ def test_band_kernel_gather_matches_concat_build():
                                       np.asarray(_band_kernel(k)))
 
 
-def test_kbuild_einsum_matches_scatter(monkeypatch):
-    """AIT_KBUILD_EINSUM=1 replaces every kernel build (3x3 band, stride-2
-    band, transpose blocks, 1x1 block-diagonal) with one one-hot einsum.
-    Forward outputs must be bitwise-equal (each build element receives
-    exactly one 1.0*k term); the conv3x3 weight grad may reassociate its
-    8-term band fold, so it gets an ulp-level tolerance."""
-    import os
-
-    from audio_inpainting_tpu.ops.packedconv import (
-        conv1x1_packed, conv3x3_packed, conv4x4s2_packed,
-        conv_transpose2x2_packed)
-
-    rng = np.random.RandomState(7)
-    x = jnp.asarray(rng.randn(1, 8, 64, 16), jnp.float32)
-    xp = pack(x)
-    k3 = jnp.asarray(rng.randn(3, 3, 16, 8) * 0.1, jnp.float32)
-    k4 = jnp.asarray(rng.randn(4, 4, 16, 8) * 0.1, jnp.float32)
-    k2 = jnp.asarray(rng.randn(2, 2, 16, 8) * 0.1, jnp.float32)
-    k1 = jnp.asarray(rng.randn(16, 8) * 0.1, jnp.float32)
-    g3 = jnp.asarray(rng.randn(1, 8, 8, 8 * 8), jnp.float32)
-
-    def run_all():
-        jax.clear_caches()   # env var is read at trace time
-        outs = [conv3x3_packed(xp, k3), conv4x4s2_packed(xp, k4),
-                conv_transpose2x2_packed(xp, k2), conv1x1_packed(xp, k1)]
-        grads = jax.grad(
-            lambda a, b: jnp.sum(conv3x3_packed(a, b) * g3), (0, 1))(xp, k3)
-        return [np.asarray(o) for o in outs], [np.asarray(d) for d in grads]
-
-    monkeypatch.delenv("AIT_KBUILD_EINSUM", raising=False)
-    outs_s, grads_s = run_all()
-    monkeypatch.setenv("AIT_KBUILD_EINSUM", "1")
-    outs_e, grads_e = run_all()
-    monkeypatch.delenv("AIT_KBUILD_EINSUM", raising=False)
-    jax.clear_caches()
-
-    for s, e in zip(outs_s, outs_e):
-        np.testing.assert_array_equal(s, e)
-    np.testing.assert_array_equal(grads_s[0], grads_e[0])      # dx: band build only
-    np.testing.assert_allclose(grads_s[1], grads_e[1],         # dk: 8-term fold
-                               rtol=1e-6, atol=1e-6)

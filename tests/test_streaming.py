@@ -149,3 +149,74 @@ def test_stream_feed_after_flush_raises():
     rest.flush()
     with pytest.raises(RuntimeError):
         rest.feed(np.zeros(10, np.float32))
+
+
+def test_stream_warmup_linear_is_noop():
+    rest = StreamRestorer(8000, method="linear")
+    assert rest.warmup() == 0
+
+
+class _CompileCounter(list):
+    """Counts XLA compiles via the jax_log_compiles log line."""
+
+    def __enter__(self):
+        import logging
+
+        import jax
+
+        self._logger = logging.getLogger("jax._src.interpreters.pxla")
+
+        class H(logging.Handler):
+            def emit(h, record):
+                if "Compiling" in record.getMessage():
+                    self.append(record.getMessage())
+
+        self._handler = H()
+        self._prev = jax.config.jax_log_compiles
+        jax.config.update("jax_log_compiles", True)
+        self._logger.addHandler(self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        self._logger.removeHandler(self._handler)
+        jax.config.update("jax_log_compiles", False if not self._prev
+                          else self._prev)
+
+
+def test_stream_warmup_then_feed_compiles_nothing_new():
+    """warmup() precompiles every program the stream's AR windows need —
+    a live first gap must reuse them, never stall on a fresh XLA compile
+    (VERDICT r3 #1). Counted via the jax_log_compiles hook."""
+    sr = 4000
+    x, dmg, _, gaps = _clip(sr=sr, n=24_000, gaps=((9_000, 9_120),
+                                                   (17_000, 17_110)))
+    kw = dict(method="ar", window_s=0.064, max_doublings=1, order=8,
+              context_len=64, margin=20)
+    rest = StreamRestorer(sr, **kw)
+    with _CompileCounter() as during_warmup:
+        n = rest.warmup()
+    assert n > 0
+    assert len(during_warmup) > 0  # warmup really compiled the programs
+    with _CompileCounter() as during_feed:
+        parts = [rest.feed(dmg[i:i + 3_000])
+                 for i in range(0, len(dmg), 3_000)]
+        parts.append(rest.flush())
+    out = np.concatenate(parts)
+    assert out.shape == dmg.shape
+    for s, e in gaps:
+        assert np.abs(out[s:e]).max() > 1e-4     # gaps actually restored
+    assert during_feed == [], during_feed
+
+
+def test_stream_ar_chunk_size_invariance_bucketed():
+    """The AR engine's shape bucketing keeps fills deterministic per
+    window, so the chunk-invariance contract holds for AR too."""
+    sr = 4000
+    _, dmg, _, _ = _clip(sr=sr, n=20_000, gaps=((9_000, 9_150),))
+    kw = dict(method="ar", window_s=0.064, max_doublings=1, order=8,
+              context_len=64, margin=20)
+    outs = [_run(dmg, sr, c, **kw) for c in (900, 5_000, 20_000)]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])

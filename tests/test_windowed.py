@@ -210,6 +210,50 @@ def test_windowed_unet_batched_mixed_sizes():
     np.testing.assert_allclose(bat, seq, atol=2e-5)
 
 
+def test_windowed_ar_batched_equals_sequential():
+    """batch_windows=True for AR: same-shape-bucket windows restore as one
+    vmapped fused program (methods.ar.ar_restore_gaps_windows), every
+    window keeping the sequential path's PRNGKey(seed) — batched ==
+    sequential (VERDICT r3 #5)."""
+    clean, dmg, sr, gaps = _long_clip(
+        n=64_000, gaps=((10_000, 10_400), (40_000, 40_400),
+                        (55_000, 55_200)))
+    kw = dict(method="ar", window_s=0.5, gaps=gaps, order=16,
+              context_len=400, seed=1)
+    seq = restore_windowed(dmg, sr, batch_windows=False, **kw)
+    bat = restore_windowed(dmg, sr, batch_windows=True, **kw)
+    np.testing.assert_allclose(bat, seq, atol=1e-5)
+    for s, e in gaps:
+        assert np.abs(bat[s:e]).max() > 1e-4
+
+
+def test_windowed_ar_batched_mixed_buckets():
+    """Gaps in different length buckets (one long span doubles the window)
+    split into separate classes; output order and values still match the
+    sequential path."""
+    clean, dmg, sr, gaps = _long_clip(
+        n=64_000, gaps=((10_000, 10_300), (36_000, 39_500)))
+    kw = dict(method="ar", window_s=0.5, gaps=gaps, order=16,
+              context_len=400, seed=0)
+    seq = restore_windowed(dmg, sr, batch_windows=False, **kw)
+    bat = restore_windowed(dmg, sr, batch_windows=True, **kw)
+    np.testing.assert_allclose(bat, seq, atol=1e-5)
+
+
+def test_ar_bucketing_is_exact_without_texture():
+    """Shape bucketing (padded gap batch + pow2 extrapolation length) must
+    not change the math: with texture off (no noise draws, whose shapes
+    bucketing legitimately changes) bucketed == exact-shape fills."""
+    from audio_inpainting_tpu.methods.ar import ARConfig, ar_restore_gaps
+
+    clean, dmg, sr, gaps = _long_clip(n=32_000,
+                                      gaps=((9_000, 9_300), (21_000, 21_150)))
+    base = dict(order=16, context_len=400, texture=False, passes=1)
+    a = np.asarray(ar_restore_gaps(dmg, gaps, ARConfig(**base, bucket=False)))
+    b = np.asarray(ar_restore_gaps(dmg, gaps, ARConfig(**base, bucket=True)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_windowed_no_gaps_is_identity():
     x = (0.5 * np.sin(np.arange(10_000) * 0.1)).astype(np.float32)
     out = restore_windowed(x, 8000, method="linear")
