@@ -78,10 +78,13 @@ def restore(damaged, sr: int, method: str = "ar", *, gaps=None, mask=None,
         return bad
 
     if method == "linear":
-        from .methods import linear_interp_masked
+        # host np.interp, not the jitted kernel: the facade is the serving
+        # engines' per-window entry point, and a zero-FLOP O(n) fill must
+        # not pay a device round trip per window (methods/linear.py
+        # linear_interp_masked_host rationale; the two are oracle-equal)
+        from .methods.linear import linear_interp_masked_host
 
-        return np.asarray(linear_interp_masked(jnp.asarray(damaged),
-                                               jnp.asarray(_mask())))
+        return linear_interp_masked_host(damaged, _mask())
 
     if method == "ar":
         from .methods import ARConfig, ar_restore_gaps

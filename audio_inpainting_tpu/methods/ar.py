@@ -66,8 +66,9 @@ class ARConfig:
     # main3_AR_text_mask.py:99), i.e. min_rows = 1; larger values are an
     # optional stricter guard beyond reference behavior.
     min_rows: int = 1
-    # Shape bucketing: pad the gap batch to a power of two >= 8 (with
-    # zero-length dummy gaps that fit garbage models but paste nothing) and
+    # Shape bucketing: pad the gap batch to the bucket_gap_count ladder
+    # (8, 32, 128, ... — with zero-length dummy gaps that fit garbage
+    # models but paste nothing) and
     # round the extrapolation length up to a power of two >= 1024, so the
     # set of compiled XLA programs over arbitrary damage is LOGARITHMIC
     # instead of one per distinct (gap count, max gap length). Off by
@@ -80,13 +81,23 @@ class ARConfig:
     bucket: bool = False
 
 
-_GAP_PAD_FLOOR = 8      # bucketed gap-batch sizes: 8, 16, 32, ...
+_GAP_PAD_FLOOR = 8      # bucketed gap-batch sizes: 8, 32, 128, ... (x4)
 _LEN_FLOOR = 1024       # bucketed extrapolation lengths: 1024, 2048, ...
 
 
 def bucket_gap_count(n_gaps: int) -> int:
-    """Bucketed gap-batch size: power of two >= max(n_gaps, 8)."""
-    return max(_GAP_PAD_FLOOR, 1 << (max(1, n_gaps) - 1).bit_length())
+    """Bucketed gap-batch size: 8, then powers of FOUR (32, 128, ...).
+
+    Coarse jumps on purpose: real music carries 13-14 natural sub-0.01
+    quiet runs per 2 s window (measured on the reference clip), so
+    power-of-two buckets would hop 8 -> 16 -> 32 with the count drifting
+    across window positions — every hop is a fresh XLA program. A x4
+    ladder lands all of 9..32 runs in ONE bucket; padding rows are cheap
+    (each is one extra Hankel fit + scan lane on the MXU)."""
+    b = _GAP_PAD_FLOOR
+    while b < n_gaps:
+        b *= 4
+    return b
 
 
 def bucket_max_len(max_len: int) -> int:

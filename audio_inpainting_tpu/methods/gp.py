@@ -39,21 +39,30 @@ class GPConfig:
     noise: float = 0.01
     noise_bounds: tuple = (1e-5, 1e5)
     n_restarts: int = 5
-    opt_steps: int = 60
+    # Round-4 A/B (tools/gp_ab.py, v5e, part-0 segment): quality is FLAT
+    # across opt_steps {20,40,60} x fit_subsample {2,4} (11.57-11.60 dB /
+    # 1.24-1.27 local, every config above the 10.5/0.4 gate floors; 5-seed
+    # check at the new default: 11.48-14.01 / 1.15-3.68) — the L-BFGS
+    # reaches the useful MLL basin within 20 steps, and the posterior costs
+    # 25 ms. 20 steps + every-4th-sample fit cut the GP leg 2.85 s ->
+    # 0.55 s. opt_steps=60/fit_subsample=2 reproduces the round-3 bench
+    # setup; fit_subsample=1 + opt_steps=60 is the sklearn-exact posture.
+    opt_steps: int = 20
     max_linesearch_steps: int = 6
     # Fit hyperparameters on every k-th training sample (posterior still uses
-    # all samples). Each MLL eval is O(n^3): fit_subsample=2 cuts the fit 8x.
-    # Measured on the reference clip it also IMPROVES restoration (local SNR
-    # 3.27 dB vs 0.71 at k=1 and 0.54 for sklearn): the coarser likelihood
-    # favors hyperparameters that extrapolate across the gap instead of
+    # all samples). Each MLL eval is O(n^3): fit_subsample=4 cuts the fit
+    # ~64x vs k=1. Measured on the reference clip coarser fits also IMPROVE
+    # restoration (local SNR 1.27 at k=4 / 3.27 at k=2 sweep-best vs 0.71
+    # at k=1 and 0.54 for sklearn): the coarser likelihood favors
+    # hyperparameters that extrapolate across the gap instead of
     # overfitting the observed fine structure. k=1 reproduces sklearn's
     # setup exactly.
-    fit_subsample: int = 2
+    fit_subsample: int = 4
     # L-BFGS steps per device dispatch. One monolithic opt_steps-sized
     # program crashed the axon TPU worker (round 2); short chunks keep each
-    # dispatch small. Raise for fewer host round trips once a worker proves
-    # stable at the larger program size.
-    fit_chunk: int = 10
+    # dispatch small (chunk = all 20 steps measured identical to 10-step
+    # chunks on a healthy worker, tools/gp_ab.py).
+    fit_chunk: int = 20
     # diagonal regularizer: sklearn uses alpha=1e-10 in f64; f32 Cholesky
     # needs a larger floor or near-bound hyperparameters (noise -> 1e-5,
     # length scale at its cap) produce a singular factor and NaN posteriors

@@ -111,6 +111,9 @@ def main() -> int:
                     help="StreamRestorer.warmup() before the cold pass")
     ap.add_argument("--max-gap-s", type=float, default=None,
                     help="bound warmup's gap-length buckets (see warmup())")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="unet/gan training epochs per window (the "
+                         "quality-vs-throughput knob; default = method's)")
     args = ap.parse_args()
 
     sr, clean, damaged, spans = build_program(
@@ -119,23 +122,26 @@ def main() -> int:
     print(f"[setup] {args.minutes:.1f} min, {len(spans)} gaps of "
           f"{args.gap_ms:.0f} ms, chunk {chunk} samples", file=sys.stderr)
 
+    kw = dict(window_s=args.window_s)
+    if args.epochs is not None:
+        kw["epochs"] = args.epochs
     out_cold, wall_cold, _, feed_cold, warm_wall = run_pass(
         "cold", sr, damaged, args.method, chunk, args.warmup,
-        args.max_gap_s, window_s=args.window_s)
+        args.max_gap_s, **kw)
     out, wall, (peak, p99), feed_warm, _ = run_pass(
-        "warm", sr, damaged, args.method, chunk, False, None,
-        window_s=args.window_s)
+        "warm", sr, damaged, args.method, chunk, False, None, **kw)
 
     assert len(out) == len(damaged), (len(out), len(damaged))
     # Clean passthrough: output must be BIT-identical to the input outside
-    # every restore window. "Restore window" = injected gap +- guard, AND
-    # every blind-detected quiet run +- guard: the restorer legitimately
-    # detects (and fills) the clip's own sub-threshold runs, so masking
-    # only the injected gaps would flag those fills as corruption
-    # (round-3 ADVICE). Guard = the window size: a restore window extends
-    # up to window samples around its damage.
+    # every composite region. A restored piece only writes gap +- margin
+    # (composite_weight support), so the guard is margin-scale — NOT the
+    # window size (a window-sized guard left no clean samples at default
+    # parameters, making the check vacuous; round-3 ADVICE). The dirty set
+    # covers injected gaps AND every blind-detected quiet run: the
+    # restorer legitimately detects (and fills) the clip's own
+    # sub-threshold runs.
     from audio_inpainting_tpu.corrupt import find_gaps
-    guard = int(args.window_s * sr)
+    guard = 4 * 50   # 4x the engine's default margin
     dirty = np.zeros(len(damaged), bool)
     for s, e in list(spans) + list(find_gaps(damaged, threshold=0.01,
                                              min_len=100)):
