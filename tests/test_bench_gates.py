@@ -23,13 +23,13 @@ GOOD = {
         "nmf": {"snr_db": 10.10, "local_snr_db": 0.49},
     },
     "part1": {
-        "linear": {"snr_db": 12.26, "lsd_db": 7.52},
+        "linear": {"snr_db": 4.81},
         "ar": {"snr_db": 4.99, "lsd_db": 12.2},
         "nmf": {"lsd_db": 11.9},
         "unet": {"snr_db": 15.21, "lsd_db": 10.3},
     },
     "part2": {
-        "linear": {"snr_db": 3.04},
+        "linear": {"snr_db": 3.84},
         "ar": {"snr_db": 1.64},
         "nmf": {"snr_db": 3.83, "local_snr_db": -0.0095, "lsd_db": 10.9},
         "gan": {"snr_db": 2.71, "local_snr_db": -0.048, "lsd_db": 41.2},
