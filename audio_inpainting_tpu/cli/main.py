@@ -110,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
     pst.add_argument("--margin", type=int, default=50)
     pst.add_argument("--threshold", type=float, default=1e-4)
     pst.add_argument("--seed", type=int, default=0)
+    pst.add_argument("--warmup", action="store_true",
+                     help="precompile every window program BEFORE reading "
+                          "stdin (StreamRestorer.warmup) so the first gap "
+                          "never stalls the live stream on an XLA compile")
+    pst.add_argument("--max-gap-s", type=float, default=None,
+                     help="longest expected damage span, bounds --warmup's "
+                          "program set (default: everything up to the "
+                          "window cap)")
 
     psc = sub.add_parser("score", help="SNR/LSD of restored WAVs vs originals")
     psc.add_argument("restored_dir")
@@ -213,6 +221,11 @@ def main(argv=None) -> int:
         rest = StreamRestorer(args.sr, method=args.method,
                               window_s=args.window_s, margin=args.margin,
                               threshold=args.threshold, seed=args.seed)
+        if args.warmup:
+            t0 = time.time()
+            n_warm = rest.warmup(args.max_gap_s)
+            print(f"warmup: {n_warm} window programs in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
         stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
         carry = b""   # pipe reads can split a sample's 4 bytes
         total_in = total_out = 0

@@ -220,3 +220,30 @@ def test_stream_ar_chunk_size_invariance_bucketed():
     outs = [_run(dmg, sr, c, **kw) for c in (900, 5_000, 20_000)]
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_tape_append_drop_compaction():
+    """_Tape: amortized buffer behind the O(chunk) feed contract —
+    append into spare capacity, drop from the front by offset, compact
+    only on overflow; view() always equals the live window."""
+    from audio_inpainting_tpu.methods.streaming import _Tape
+
+    rng = np.random.default_rng(0)
+    tape = _Tape()
+    mirror = np.zeros(0, np.float32)
+    for i in range(300):
+        chunk = rng.standard_normal(rng.integers(1, 5000)).astype(np.float32)
+        tape.append(chunk)
+        mirror = np.concatenate([mirror, chunk])
+        if rng.random() < 0.5 and len(mirror) > 10:
+            d = int(rng.integers(0, len(mirror)))
+            tape.drop(d)
+            mirror = mirror[d:]
+        assert len(tape) == len(mirror)
+        np.testing.assert_array_equal(tape.view(), mirror)
+    # writes through the view must stick (the composite path relies on it)
+    tape.view()[:5] = 7.0
+    np.testing.assert_array_equal(tape.view()[:5], np.full(5, 7.0, np.float32))
+    # drop beyond the end clamps
+    tape.drop(10**9)
+    assert len(tape) == 0
