@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p0 = sub.add_parser("part0", help="0.05 s segment: GP, AR, AR+texture, NMF")
     _add_common(p0)
     p0.add_argument("--gp-restarts", type=int, default=5)
-    p0.add_argument("--gp-steps", type=int, default=60)
+    p0.add_argument("--gp-steps", type=int, default=20)
 
     p1 = sub.add_parser("part1", help="random dropouts: linear, AR, NMF, U-Net")
     _add_common(p1)
@@ -42,18 +42,22 @@ def build_parser() -> argparse.ArgumentParser:
     p2.add_argument("--diffusion-steps", type=int, default=1500)
     p2.add_argument("--diffusion-checkpoint", default=None,
                     help="orbax dir from a corpus DDPM pretrain; skips "
-                         "per-clip diffusion training")
+                         "per-clip diffusion training (default: the "
+                         "committed checkpoints/diffusion_prior when "
+                         "present; pass 'none' to force per-clip)")
 
     pa = sub.add_parser("all", help="run all three scenario pipelines")
     _add_common(pa)
     pa.add_argument("--gp-restarts", type=int, default=5)
-    pa.add_argument("--gp-steps", type=int, default=60)
+    pa.add_argument("--gp-steps", type=int, default=20)
     pa.add_argument("--unet-epochs", type=int, default=400)
     pa.add_argument("--gan-epochs", type=int, default=1500)
     pa.add_argument("--diffusion-steps", type=int, default=1500)
     pa.add_argument("--diffusion-checkpoint", default=None,
                     help="orbax dir from a corpus DDPM pretrain; skips "
-                         "per-clip diffusion training")
+                         "per-clip diffusion training (default: the "
+                         "committed checkpoints/diffusion_prior when "
+                         "present; pass 'none' to force per-clip)")
 
     pr = sub.add_parser("restore", help="restore one WAV with any method")
     pr.add_argument("input_wav")
@@ -305,7 +309,7 @@ def main(argv=None) -> int:
 
         gp_cfg = GPConfig(
             n_restarts=getattr(args, "gp_restarts", 5),
-            opt_steps=getattr(args, "gp_steps", 60))
+            opt_steps=getattr(args, "gp_steps", 20))
         _emit("part0", run_part0(args.input, args.assets_dir, seed=args.seed,
                                  gp_cfg=gp_cfg), args.json)
     if args.cmd in ("part1", "all"):
@@ -319,6 +323,19 @@ def main(argv=None) -> int:
 
         dcfg = DiffusionConfig(train_steps=args.diffusion_steps)
         dckpt = getattr(args, "diffusion_checkpoint", None)
+        if dckpt is None:
+            # the committed corpus prior (tools/train_diffusion_prior.py):
+            # inference-only diffusion by default, like the reference's
+            # pretrained pipeline (main_diffusion_gap.py:16-19)
+            _default = os.path.join(os.path.dirname(__file__), "..", "..",
+                                    "checkpoints", "diffusion_prior")
+            if os.path.isdir(_default):
+                dckpt = _default
+                print("diffusion: using committed corpus prior "
+                      "(--diffusion-checkpoint none to force per-clip)",
+                      file=sys.stderr)
+        elif dckpt.lower() == "none":
+            dckpt = None
         _emit("part2", run_part2(args.input, args.assets_dir, seed=args.seed,
                                  gan_epochs=args.gan_epochs,
                                  diffusion_cfg=dcfg,
