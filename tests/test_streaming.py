@@ -247,3 +247,44 @@ def test_tape_append_drop_compaction():
     # drop beyond the end clamps
     tape.drop(10**9)
     assert len(tape) == 0
+
+
+def test_incremental_detection_matches_find_gaps_oracle():
+    """The O(chunk) incremental scanner must produce EXACTLY the spans the
+    old full-buffer path computed: find_gaps(signal, 0.01, min_len=100)
+    (strictly > 100) merged with the windowed engine's 2*margin rule —
+    regardless of how the stream is chunked."""
+    from audio_inpainting_tpu.corrupt import find_gaps
+    from audio_inpainting_tpu.methods.windowed import _merge_close
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    x = (0.3 + 0.2 * rng.random(n)).astype(np.float32)  # loud everywhere
+    x *= np.where(rng.random(n) < 0.5, -1, 1)
+    # quiet runs at and around the min_len boundary, some closer than
+    # 2*margin so merging matters, one touching the stream end
+    runs = [(1_000, 1_100), (2_000, 2_101), (2_160, 2_400), (9_000, 9_050),
+            (15_000, 16_500), (16_560, 16_700), (29_800, 30_000)]
+    for s, e in runs:
+        x[s:e] = 1e-4 * rng.standard_normal(e - s)
+
+    margin = 50
+    want = _merge_close(find_gaps(x, threshold=0.01, min_len=100),
+                        2 * margin)
+
+    for seed in range(3):
+        r2 = np.random.default_rng(seed)
+        rest = StreamRestorer(8_000, method="linear", window_s=0.5,
+                              margin=margin)
+        i = 0
+        while i < n:
+            c = int(r2.integers(1, 997))
+            rest._buf.append(x[i:i + c])
+            rest._out.append(x[i:i + c])
+            rest._scan_chunk(x[i:i + c])
+            rest._total += len(x[i:i + c])
+            i += c
+        got, tail_start = rest._detect()
+        assert got == [tuple(g) for g in want], (got, want)
+        # the trailing run is open: tail_start is its absolute start
+        assert tail_start == 29_800
