@@ -72,6 +72,9 @@ class _Tape:
             live = self._end - self._off
             need = live + n
             if need * 2 <= len(self._arr):
+                # in-place compaction is overlap-free BY the need*2 guard:
+                # live <= len/2 while off = end - live >= len - len/2, so
+                # dst [0, live) ends before src [off, ...) begins
                 self._arr[:live] = self._arr[self._off:self._end]
             else:
                 new = np.empty(max(len(self._arr) * 2, need * 2), np.float32)
