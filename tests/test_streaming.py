@@ -288,3 +288,32 @@ def test_incremental_detection_matches_find_gaps_oracle():
         assert got == [tuple(g) for g in want], (got, want)
         # the trailing run is open: tail_start is its absolute start
         assert tail_start == 29_800
+
+
+def test_concurrent_streams_share_programs_and_stay_independent():
+    """Serving many live streams in one process: compiled window programs
+    are shared (stream B, fed after stream A warmed, compiles NOTHING),
+    and interleaved feeding changes no bytes vs running each stream
+    alone."""
+    sr = 4000
+    _, dmg_a, _, _ = _clip(sr=sr, n=20_000, gaps=((9_000, 9_150),))
+    _, dmg_b, _, _ = _clip(sr=sr, n=20_000, gaps=((5_000, 5_200),
+                                                  (14_000, 14_120)))
+    kw = dict(method="ar", window_s=0.064, max_doublings=1, order=8,
+              context_len=64, margin=20)
+
+    solo_a = _run(dmg_a, sr, 2_000, **kw)
+    solo_b = _run(dmg_b, sr, 2_000, **kw)
+
+    ra, rb = StreamRestorer(sr, **kw), StreamRestorer(sr, **kw)
+    ra.warmup()
+    with _CompileCounter() as during:
+        outs_a, outs_b = [], []
+        for i in range(0, 20_000, 2_000):
+            outs_a.append(ra.feed(dmg_a[i:i + 2_000]))
+            outs_b.append(rb.feed(dmg_b[i:i + 2_000]))
+        outs_a.append(ra.flush())
+        outs_b.append(rb.flush())
+    assert during == [], during          # all programs shared via jit cache
+    np.testing.assert_array_equal(np.concatenate(outs_a), solo_a)
+    np.testing.assert_array_equal(np.concatenate(outs_b), solo_b)
