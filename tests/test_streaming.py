@@ -317,3 +317,25 @@ def test_concurrent_streams_share_programs_and_stay_independent():
     assert during == [], during          # all programs shared via jit cache
     np.testing.assert_array_equal(np.concatenate(outs_a), solo_a)
     np.testing.assert_array_equal(np.concatenate(outs_b), solo_b)
+
+
+def test_stream_warmup_unet_then_feed_compiles_nothing_new():
+    """Same contract as the AR warmup pin, for the U-Net path: its program
+    shape depends only on the window size, so one warmed program per size
+    must cover every live window (keep/stripe masks are data)."""
+    sr = 4000
+    x, dmg, _, gaps = _clip(sr=sr, n=24_000, gaps=((9_000, 9_120),
+                                                   (17_000, 17_110)))
+    kw = dict(method="unet", window_s=0.064, max_doublings=1, margin=20,
+              epochs=2, scan_chunk=2)
+    rest = StreamRestorer(sr, **kw)
+    with _CompileCounter() as during_warmup:
+        n = rest.warmup()
+    assert n > 0 and len(during_warmup) > 0
+    with _CompileCounter() as during_feed:
+        parts = [rest.feed(dmg[i:i + 3_000])
+                 for i in range(0, len(dmg), 3_000)]
+        parts.append(rest.flush())
+    out = np.concatenate(parts)
+    assert out.shape == dmg.shape
+    assert during_feed == [], during_feed
