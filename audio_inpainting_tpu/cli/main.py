@@ -108,7 +108,20 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["linear", "ar", "nmf", "gp", "unet"],
                      help="per-window restore method (gan/diffusion need "
                           "clean references/checkpoints - not streamable)")
-    pst.add_argument("--window-s", type=float, default=10.0)
+    pst.add_argument("--window-s", type=float, default=None,
+                     help="restore window seconds (default: per-method "
+                          "latency-tuned — linear/gp 0.5, ar/unet 2, "
+                          "else 10)")
+    pst.add_argument("--adapt-epochs", type=int, default=100,
+                     help="unet: warm-window adaptation budget of the "
+                          "per-stream persistent net (first window trains "
+                          "the full --epochs budget)")
+    pst.add_argument("--fresh-net", action="store_true",
+                     help="unet: train a fresh net per window instead of "
+                          "carrying one net per stream (slower, the "
+                          "round-4 behavior)")
+    pst.add_argument("--epochs", type=int, default=None,
+                     help="unet: cold-window training epochs (default 400)")
     pst.add_argument("--chunk", type=int, default=65536,
                      help="samples per stdin read")
     pst.add_argument("--margin", type=int, default=50)
@@ -169,6 +182,15 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
 
+    if args.cmd in ("stream", "serve") or (
+            args.cmd == "restore" and args.window_s is not None):
+        # serving processes re-load their window programs from the
+        # persistent compile cache across restarts instead of re-paying
+        # the cold compile bill (VERDICT r4 #2; no-op on CPU backends)
+        from ..utils.compilecache import enable_persistent_cache
+
+        enable_persistent_cache()
+
     if args.cmd == "check":
         from ..pipelines.registry import ASSET_REGISTRY
 
@@ -222,9 +244,15 @@ def main(argv=None) -> int:
 
         from ..methods.streaming import StreamRestorer
 
+        kw = {}
+        if args.method == "unet":
+            kw["persist"] = not args.fresh_net
+            kw["adapt_epochs"] = args.adapt_epochs
+            if args.epochs is not None:
+                kw["epochs"] = args.epochs
         rest = StreamRestorer(args.sr, method=args.method,
                               window_s=args.window_s, margin=args.margin,
-                              threshold=args.threshold, seed=args.seed)
+                              threshold=args.threshold, seed=args.seed, **kw)
         if args.warmup:
             t0 = time.time()
             n_warm = rest.warmup(args.max_gap_s)
@@ -324,16 +352,28 @@ def main(argv=None) -> int:
         dcfg = DiffusionConfig(train_steps=args.diffusion_steps)
         dckpt = getattr(args, "diffusion_checkpoint", None)
         if dckpt is None:
-            # the committed corpus prior (tools/train_diffusion_prior.py):
-            # inference-only diffusion by default, like the reference's
-            # pretrained pipeline (main_diffusion_gap.py:16-19)
-            _default = os.path.join(os.path.dirname(__file__), "..", "..",
-                                    "checkpoints", "diffusion_prior")
+            # the corpus prior (tools/train_diffusion_prior.py): inference-
+            # only diffusion by default, like the reference's pretrained
+            # pipeline (main_diffusion_gap.py:16-19). $AIT_DIFFUSION_PRIOR
+            # overrides the repo-checkout default — an installed package has
+            # no ../../checkpoints, and silently retraining per clip there
+            # was a large unannounced behavior difference (round-4 ADVICE)
+            _default = (os.environ.get("AIT_DIFFUSION_PRIOR")
+                        or os.path.join(os.path.dirname(__file__), "..",
+                                        "..", "checkpoints",
+                                        "diffusion_prior"))
             if os.path.isdir(_default):
                 dckpt = _default
-                print("diffusion: using committed corpus prior "
+                print("diffusion: using corpus prior at "
+                      f"{os.path.normpath(_default)} "
                       "(--diffusion-checkpoint none to force per-clip)",
                       file=sys.stderr)
+            else:
+                print("diffusion: no corpus prior found (set "
+                      "$AIT_DIFFUSION_PRIOR or --diffusion-checkpoint); "
+                      "falling back to per-clip training — slower, and a "
+                      "different semantic than the reference's pretrained "
+                      "pipeline", file=sys.stderr)
         elif dckpt.lower() == "none":
             dckpt = None
         _emit("part2", run_part2(args.input, args.assets_dir, seed=args.seed,

@@ -291,11 +291,13 @@ def diffusion_inpaint_image(img_u8: np.ndarray, mask_u8: np.ndarray,
 
 
 def riffusion_restore_audio(damaged: np.ndarray, sr: int,
-                            checkpoint_root: str,
+                            checkpoint_root: str | None = None,
                             prompt: str | None = None,
                             steps: int = 50,
                             key: int = 0, composite: bool = True,
-                            fill_energy_ratio: float | None = 0.15) -> np.ndarray:
+                            fill_energy_ratio: float | None = 0.15,
+                            bundle: dict | None = None,
+                            image_size: int = 512) -> np.ndarray:
     """Reference-exact Riffusion inpainting from a LOCAL checkpoint.
 
     wav -> log-spec image -> RGB 512x512 -> SD masked-latent inpaint
@@ -303,18 +305,29 @@ def riffusion_restore_audio(damaged: np.ndarray, sr: int,
     main_diffusion_gap.py:58-67) -> resize back -> Griffin-Lim. Raises
     FileNotFoundError when checkpoint_root is absent — callers fall back to
     ``diffusion_restore_audio`` (the native DDPM engine).
+
+    bundle: a pre-loaded loader.load_riffusion dict — serving processes
+    load the checkpoint once and reuse it per clip (also the tiny-config
+    test seam, VERDICT r4 #4c). image_size: the SD canvas (512 is the
+    reference's resize, main_diffusion_gap.py:58-59; tests shrink it so
+    the tiny UNet's self-attention stays tractable).
     """
     from ..models.sd import (PROMPT, InpaintConfig, load_riffusion,
                              riffusion_inpaint_image)
 
-    bundle = load_riffusion(checkpoint_root)
+    if bundle is None:
+        if checkpoint_root is None:
+            raise FileNotFoundError(
+                "riffusion_restore_audio needs checkpoint_root or bundle")
+        bundle = load_riffusion(checkpoint_root)
     damaged = np.asarray(damaged, np.float32)
     logspec = np.asarray(wav_to_logspec(jnp.asarray(damaged)))
     img, smin, smax = logspec_to_image(logspec)
     mask = mask_from_image(img)
     h, w = img.shape
-    rgb512 = resize_image(np.repeat(img[:, :, None], 3, axis=2), (512, 512))
-    mask512 = resize_image(mask, (512, 512))
+    rgb512 = resize_image(np.repeat(img[:, :, None], 3, axis=2),
+                          (image_size, image_size))
+    mask512 = resize_image(mask, (image_size, image_size))
     out512 = riffusion_inpaint_image(
         bundle, rgb512, mask512, prompt or PROMPT,
         InpaintConfig(steps=steps), key=key)

@@ -88,21 +88,82 @@ class _Tape:
         self._off = min(self._off + n, self._end)
 
 
+# Per-method default stream window (VERDICT r4 #5). p99 pending latency is
+# the window-placement wait (~window/2 + right context), NOT compute
+# (BASELINE.md streaming table: linear's 5.08 s p99 was purely the 10 s
+# window), so a method should not buy more window than its fill actually
+# uses: linear interpolates from the gap's immediate endpoints, GP fits a
+# short segment (the reference confines it to 0.05 s, main1_gp.py:46-49),
+# AR uses 1000-sample contexts, the U-Net trains on the window's
+# spectrogram (2 s is the measured quality/latency knee). NMF and anything
+# unlisted keep the clip-scale 10 s window (the reference factorizes the
+# whole 10 s spectrogram, main4_NMF_gap.py:45-47).
+DEFAULT_WINDOW_S = {"linear": 0.5, "gp": 0.5, "ar": 2.0, "unet": 2.0}
+
+
+def _warm_runs(size: int, gap_len: int, n_runs: int,
+               margin: int) -> list[tuple[int, int]]:
+    """Damage-run layout for one synthetic warmup window: a centered
+    ``gap_len`` run plus ``n_runs - 1`` single-sample fillers, spaced
+    ``step`` apart so none merge. Fillers go on BOTH sides of the main
+    run: for gap_len near the window size the left side alone runs out of
+    room, and warmup would silently compile the 8-bucket instead of the
+    requested (large-length, high-count) program (round-4 ADVICE)."""
+    s0 = max((size - gap_len) // 2, 1)
+    e0 = min(s0 + gap_len, size)
+    runs = [(s0, e0)]
+    # tightest non-merging spacing: runs separated by >= 2*margin never
+    # merge (_close_run's rule), so step-1 == 2*margin+1 keeps every
+    # filler distinct while fitting the most runs beside a large gap
+    step = max(2 * margin + 2, 64)
+    lpos, rpos = 0, e0 + step
+    while len(runs) < n_runs:
+        if lpos + 1 <= s0 - 2 * margin:
+            runs.append((lpos, lpos + 1))
+            lpos += step
+        elif rpos + 1 <= size:
+            runs.append((rpos, rpos + 1))
+            rpos += step
+        else:
+            break
+    runs.sort()
+    return runs
+
+
 class StreamRestorer:
     """Incremental windowed restorer over the `api.restore` facade.
 
     sr/method/window_s/context/margin/threshold/seed/cfg_kwargs mean exactly
-    what they mean for methods/windowed.restore_windowed. max_doublings caps
-    an oversized damage group's window at ``window * 2**max_doublings``;
-    damage wider than the cap is restored in cap-sized tiles (each tile sees
-    the rest of the span as damage via the foreign-gap mask), which bounds
-    both compile count and buffer memory for arbitrarily long dropouts.
+    what they mean for methods/windowed.restore_windowed, except that
+    window_s=None (the default) picks the per-method latency-tuned window
+    from DEFAULT_WINDOW_S. max_doublings caps an oversized damage group's
+    window at ``window * 2**max_doublings``; damage wider than the cap is
+    restored in cap-sized tiles (each tile sees the rest of the span as
+    damage via the foreign-gap mask), which bounds both compile count and
+    buffer memory for arbitrarily long dropouts.
+
+    method="unet" carries ONE net across the stream's windows by default
+    (methods/unet_stream.py: full ``epochs`` budget on the first window,
+    ``adapt_epochs`` warm-started on every later one — the round-5 change
+    that took streaming U-Net past realtime). ``persist=False`` restores
+    the round-4 fresh-net-per-window behavior.
     """
 
     def __init__(self, sr: int, method: str = "linear", *,
-                 window_s: float = 10.0, context: int = 5000,
+                 window_s: float | None = None, context: int = 5000,
                  margin: int = 50, threshold: float = 1e-4, seed: int = 0,
                  max_doublings: int = 3, **cfg_kwargs):
+        if window_s is None:
+            window_s = DEFAULT_WINDOW_S.get(method, 10.0)
+        self._unet = None
+        if method == "unet":
+            persist = cfg_kwargs.pop("persist", True)
+            adapt_epochs = cfg_kwargs.pop("adapt_epochs", 100)
+            if persist:
+                from .unet_stream import PersistentUNetStream
+
+                self._unet = PersistentUNetStream(
+                    seed=seed, adapt_epochs=adapt_epochs, **cfg_kwargs)
         if method == "ar":
             # same engine policy as methods/windowed.py: bucketed shapes so
             # novel gap lengths reuse compiled programs instead of stalling
@@ -170,7 +231,13 @@ class StreamRestorer:
         """
         if self.method in ("linear", "gp"):
             return 0
+        from ..utils.compilecache import enable_persistent_cache
         from .ar import bucket_gap_count, bucket_max_len
+
+        # persistent compile cache (VERDICT r4 #2): a restarted serving
+        # process re-loads these programs from disk instead of re-paying
+        # the full compile bill (no-op on CPU backends — see the module)
+        enable_persistent_cache()
 
         span_cap = None if max_gap_s is None else max(
             int(max_gap_s * self.sr), 1)
@@ -187,7 +254,10 @@ class StreamRestorer:
                     while L <= lmax:
                         count += self._warm_one(size, min(size - 1, L), gpad)
                         L *= 2
-                    gpad *= 2
+                    # the gap-count ladder steps x4 (8, 32, 128 — see
+                    # bucket_gap_count); a x2 step warmed every bucket
+                    # twice for no extra program coverage (round-4 ADVICE)
+                    gpad *= 4
             else:
                 count += self._warm_one(size, max(size // 4, 1), 1)
             if size >= self.cap:
@@ -205,22 +275,35 @@ class StreamRestorer:
         sub = (0.5 * np.sin(2.0 * np.pi * 220.0 / self.sr * t)
                + 0.25 * np.sin(2.0 * np.pi * 733.0 / self.sr * t)
                ).astype(np.float32)
-        s0 = max((size - gap_len) // 2, 1)
-        runs = [(s0, min(s0 + gap_len, size))]
-        pos = 0
-        step = max(2 * self.margin + 64, 256)
-        while len(runs) < n_runs:
-            if pos + 1 >= s0:    # keep extras clear of the main run
-                break
-            runs.insert(len(runs) - 1, (pos, pos + 1))
-            pos += step
-        runs.sort()
+        runs = _warm_runs(size, gap_len, n_runs, self.margin)
         mask = np.ones(size, bool)
         for s, e in runs:
             mask[s:e] = False
         for s, e in runs:
             sub[s:e] = 0.0
-        self._call_method(sub, runs, mask)
+        if self._unet is not None:
+            self._unet.warm_window(sub, mask)
+        elif self.method == "ar":
+            # dispatch-only: compiling happens synchronously at dispatch,
+            # execution is async — so NOT fetching the result skips waiting
+            # out the throwaway restore of every monster-bucket recurrence
+            # (measured round 5: execution, not compile, dominated a
+            # cache-warm warmup at 56 s). This mirrors api.restore's AR
+            # branch exactly (same cfg merge, same key), and the CPU
+            # compile-count test pins that live feeds after this warmup
+            # compile NOTHING — any drift from the facade's program shapes
+            # fails that test.
+            import jax
+            import jax.numpy as jnp
+
+            from ..api import AR_DEFAULTS
+            from .ar import ARConfig, ar_restore_gaps
+
+            cfg = ARConfig(**{**AR_DEFAULTS, **self.cfg_kwargs})
+            ar_restore_gaps(jnp.asarray(sub), runs, cfg,
+                            key=jax.random.PRNGKey(self.seed))
+        else:
+            self._call_method(sub, runs, mask)
         return 1
 
     def feed(self, chunk) -> np.ndarray:
@@ -443,9 +526,13 @@ class StreamRestorer:
                      mask: np.ndarray) -> np.ndarray:
         """The ONE `api.restore` invocation shape both the live path
         (`_restore_piece`) and `warmup` go through — warmup's whole value
-        is that it compiles exactly the programs this call will need."""
+        is that it compiles exactly the programs this call will need.
+        The persistent-U-Net path routes to the carried per-stream net
+        instead (same masks, same composite contract)."""
         from .. import api
 
+        if self._unet is not None:
+            return self._unet.restore_window(sub, mask)
         return np.asarray(api.restore(
             sub, self.sr, method=self.method, gaps=local, mask=mask,
             threshold=self.threshold, seed=self.seed, **self.cfg_kwargs),

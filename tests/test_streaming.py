@@ -339,3 +339,172 @@ def test_stream_warmup_unet_then_feed_compiles_nothing_new():
     out = np.concatenate(parts)
     assert out.shape == dmg.shape
     assert during_feed == [], during_feed
+
+
+def test_warm_runs_two_sided_fillers_reach_bucket():
+    """A near-window-size gap must still be warmable at a high gap-count
+    bucket: fillers land on BOTH sides of the main run (round-4 ADVICE
+    found left-only placement silently warmed the 8-bucket instead)."""
+    from audio_inpainting_tpu.methods.streaming import _warm_runs
+
+    size, margin = 32_768, 20
+    runs = _warm_runs(size, int(0.9 * size), 32, margin)
+    assert len(runs) == 32
+    assert runs == sorted(runs)
+    assert all(0 <= s < e <= size for s, e in runs)
+    # no pair may merge under the detector's < 2*margin rule
+    for (s1, e1), (s2, _) in zip(runs, runs[1:]):
+        assert s2 - e1 >= 2 * margin
+
+
+def test_stream_default_window_is_per_method():
+    """window_s=None picks the per-method latency-tuned default
+    (VERDICT r4 #5): linear/gp need no training context and should not
+    inherit the 10 s window's multi-second placement wait."""
+    sr = 8000
+    assert StreamRestorer(sr, "linear").window == int(0.5 * sr)
+    assert StreamRestorer(sr, "gp").window == int(0.5 * sr)
+    assert StreamRestorer(sr, "ar").window == 2 * sr
+    assert StreamRestorer(sr, "unet", epochs=1).window == 2 * sr
+    assert StreamRestorer(sr, "nmf").window == 10 * sr
+    # explicit window_s still wins
+    assert StreamRestorer(sr, "linear", window_s=4.0).window == 4 * sr
+
+
+def test_stream_linear_default_window_latency():
+    """With the per-method default, a held linear gap costs well under a
+    second of pending latency (was ~5 s p99 at the old 10 s window)."""
+    sr = 8000
+    _, dmg, _, _ = _clip(sr=sr, n=40_000, gaps=((20_000, 20_400),))
+    rest = StreamRestorer(sr, method="linear")
+    assert rest.window == 4_000
+    peak = 0
+    for i in range(0, len(dmg), 800):      # 100 ms chunks
+        rest.feed(dmg[i:i + 800])
+        peak = max(peak, rest.pending)
+    rest.flush()
+    # placement wait is ~window/2 + margins, far under 1 s of audio
+    assert peak < sr, peak
+
+
+def _unet_kw(**extra):
+    kw = dict(method="unet", window_s=1.0, margin=40, epochs=3,
+              scan_chunk=3, adapt_epochs=2)
+    kw.update(extra)
+    return kw
+
+
+def test_persistent_unet_chunk_invariance_and_carry():
+    """The persistent U-Net path keeps the chunk-invariance contract
+    (window restore order is chunking-independent, so the carried-weight
+    sequence is too), and actually carries weights across windows."""
+    sr = 8000
+    _, dmg, _, gaps = _clip(sr=sr, n=32_000, gaps=((9_000, 9_400),
+                                                   (22_000, 22_500)))
+    outs = []
+    rests = []
+    for chunk in (2_500, 32_000):
+        rest = StreamRestorer(sr, **_unet_kw())
+        parts = [rest.feed(dmg[i:i + chunk])
+                 for i in range(0, len(dmg), chunk)]
+        parts.append(rest.flush())
+        outs.append(np.concatenate(parts))
+        rests.append(rest)
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert rests[0]._unet is not None and rests[0]._unet.params is not None
+
+
+def test_persistent_unet_opt_out_matches_facade():
+    """persist=False restores the round-4 fresh-net-per-window facade
+    path (each window an independent api.restore call)."""
+    sr = 8000
+    _, dmg, _, _ = _clip(sr=sr, n=20_000, gaps=((9_000, 9_300),))
+    rest = StreamRestorer(sr, **_unet_kw(persist=False))
+    assert rest._unet is None
+    parts = [rest.feed(dmg[i:i + 4_000]) for i in range(0, len(dmg), 4_000)]
+    parts.append(rest.flush())
+    out = np.concatenate(parts)
+    assert out.shape == dmg.shape and np.isfinite(out).all()
+
+
+def test_persistent_unet_never_trains_on_hole_content():
+    """THE persistence-safety pin (VERDICT r4 #1): the carried net's
+    weights must be bit-identical whatever the holes contain — hole
+    columns are excluded from the loss (valid=keep), so sub-threshold
+    garbage deep inside a gap can influence the output only through the
+    iSTFT phase, never through the weights that persist to later
+    windows."""
+    sr = 8000
+    n = 24_000
+    t = np.arange(n)
+    x = (0.6 * np.sin(2 * np.pi * 2 * t / sr)
+         + 0.2 * np.sin(2 * np.pi * 330 * t / sr)).astype(np.float32)
+    gs, ge = 10_000, 13_000
+    a = x.copy()
+    a[gs:ge] = 0.0
+    b = a.copy()
+    rng = np.random.default_rng(3)
+    # noise >= 1024 samples (the STFT n_fft) inside the hole: every column
+    # containing it is 100% damaged -> excluded from the loss AND input
+    b[gs + 1024:ge - 1024] = 1e-3 * rng.standard_normal(
+        ge - gs - 2048).astype(np.float32)
+    import jax
+
+    params = []
+    for dmg in (a, b):
+        rest = StreamRestorer(sr, **_unet_kw())
+        for i in range(0, n, 3_000):
+            rest.feed(dmg[i:i + 3_000])
+        rest.flush()
+        assert rest._unet.params is not None
+        params.append(rest._unet.params)
+    same = jax.tree_util.tree_map(
+        lambda p, q: bool(np.array_equal(np.asarray(p), np.asarray(q))),
+        params[0], params[1])
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_persistent_unet_canonical_init_equals_window_init():
+    """PersistentUNetStream inits on a fixed canonical shape so ONE init
+    program covers every window size — valid because the conv param tree
+    (shapes AND initializer draws) is input-size independent."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_inpainting_tpu.methods.neural import _jit_init
+    from audio_inpainting_tpu.models.packed_unet import PackedSimpleUNet
+
+    model = PackedSimpleUNet(dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p_canon = _jit_init(model, key, jnp.zeros((1, 8, 32, 1)))["params"]
+    p_win = _jit_init(model, key, jnp.zeros((1, 68, 64, 1)))["params"]
+    same = jax.tree_util.tree_map(
+        lambda p, q: bool(np.array_equal(np.asarray(p), np.asarray(q))),
+        p_canon, p_win)
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_persistent_unet_adapts_weights_between_windows():
+    """Window 2 must start from window 1's weights and move them (the
+    adaptation budget really trains), not retrain from scratch."""
+    import jax
+
+    from audio_inpainting_tpu.methods.unet_stream import PersistentUNetStream
+
+    sr = 8000
+    t = np.arange(8_000)
+    sub = (0.5 * np.sin(2 * np.pi * 220 * t / sr)).astype(np.float32)
+    mask = np.ones(8_000, bool)
+    mask[3_000:3_400] = False
+    win = sub.copy()
+    win[3_000:3_400] = 0.0
+
+    ps = PersistentUNetStream(seed=0, adapt_epochs=2, epochs=3, scan_chunk=3)
+    out1 = ps.restore_window(win, mask)
+    p1 = jax.tree_util.tree_map(np.asarray, ps.params)
+    out2 = ps.restore_window(win, mask)
+    p2 = ps.params
+    assert out1.shape == out2.shape == win.shape
+    moved = jax.tree_util.tree_map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))), p1, p2)
+    assert any(jax.tree_util.tree_leaves(moved))  # adaptation trained

@@ -106,7 +106,14 @@ def main() -> int:
     ap.add_argument("--gap-every-s", type=float, default=7.0)
     ap.add_argument("--gap-ms", type=float, default=300.0)
     ap.add_argument("--chunk-ms", type=float, default=100.0)
-    ap.add_argument("--window-s", type=float, default=10.0)
+    ap.add_argument("--window-s", type=float, default=None,
+                    help="default: per-method latency-tuned "
+                         "(streaming.DEFAULT_WINDOW_S)")
+    ap.add_argument("--adapt-epochs", type=int, default=None,
+                    help="unet: warm-window adaptation budget of the "
+                         "persistent per-stream net")
+    ap.add_argument("--fresh-net", action="store_true",
+                    help="unet: fresh net per window (round-4 behavior)")
     ap.add_argument("--warmup", action="store_true",
                     help="StreamRestorer.warmup() before the cold pass")
     ap.add_argument("--max-gap-s", type=float, default=None,
@@ -125,6 +132,11 @@ def main() -> int:
     kw = dict(window_s=args.window_s)
     if args.epochs is not None:
         kw["epochs"] = args.epochs
+    if args.method == "unet":
+        if args.adapt_epochs is not None:
+            kw["adapt_epochs"] = args.adapt_epochs
+        if args.fresh_net:
+            kw["persist"] = False
     out_cold, wall_cold, _, feed_cold, warm_wall = run_pass(
         "cold", sr, damaged, args.method, chunk, args.warmup,
         args.max_gap_s, **kw)
