@@ -415,11 +415,25 @@ def ar_restore_gaps_windows(signals, gaps_list, cfg: ARConfig,
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
-    if any(not g for g in gaps_list):
-        raise ValueError("every window must have at least one gap")
-    signals = jnp.asarray(signals, jnp.float32)
+    cfg, starts, ends, gpad, max_len = windows_prep(gaps_list, cfg)
+    out = jnp.asarray(signals, jnp.float32)
+    for p in range(cfg.passes):
+        out = _restore_windows_fused(out, jnp.asarray(starts),
+                                     jnp.asarray(ends),
+                                     jax.random.fold_in(key, p), cfg,
+                                     max_len, gpad)
+    return out
+
+
+def windows_prep(gaps_list, cfg: ARConfig):
+    """Shared prep for the batched window engines (meshless and the
+    parallel/engines.py dp-sharded mode): validate the single-bucket
+    contract and build the padded (W, gpad) start/end arrays. Returns
+    (cfg with bucket forced on, starts, ends, gpad, max_len)."""
     import dataclasses
 
+    if any(not g for g in gaps_list):
+        raise ValueError("every window must have at least one gap")
     cfg = dataclasses.replace(cfg, bucket=True)
     gpads = {bucket_gap_count(len(g)) for g in gaps_list}
     lens = {bucket_max_len(max(e - s for s, e in g)) for g in gaps_list}
@@ -428,19 +442,13 @@ def ar_restore_gaps_windows(signals, gaps_list, cfg: ARConfig,
             f"windows span multiple shape buckets (gap counts {gpads}, "
             f"max lens {lens}); group by bucket first")
     gpad, max_len = gpads.pop(), lens.pop()
-    W = signals.shape[0]
+    W = len(gaps_list)
     starts = np.zeros((W, gpad), np.int32)
     ends = np.zeros((W, gpad), np.int32)
     for i, g in enumerate(gaps_list):
         starts[i, :len(g)] = [s for s, _ in g]
         ends[i, :len(g)] = [e for _, e in g]
-    out = signals
-    for p in range(cfg.passes):
-        out = _restore_windows_fused(out, jnp.asarray(starts),
-                                     jnp.asarray(ends),
-                                     jax.random.fold_in(key, p), cfg,
-                                     max_len, gpad)
-    return out
+    return cfg, starts, ends, gpad, max_len
 
 
 def ar_restore_gap(signal, gap: tuple[int, int], cfg: ARConfig,

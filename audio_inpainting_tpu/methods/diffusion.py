@@ -416,7 +416,10 @@ def _calibrate_fill_energy(damaged: np.ndarray, out: np.ndarray,
                           damaged[ge:ge + span]])
     e_ctx = float(np.mean(ctx ** 2)) if ctx.size else 0.0
     e_fill = float(np.mean(out[gs:ge] ** 2))
-    return out * np.sqrt(ratio * e_ctx / max(e_fill, 1e-12))
+    # np.float32 gain: a np.float64 scalar would silently upcast the
+    # whole restored waveform to float64 (found by the round-5 end-to-end
+    # SD audio test)
+    return out * np.float32(np.sqrt(ratio * e_ctx / max(e_fill, 1e-12)))
 
 
 def _composite_time_domain(damaged: np.ndarray, out: np.ndarray,
@@ -434,4 +437,4 @@ def _composite_time_domain(damaged: np.ndarray, out: np.ndarray,
     xfade = 1024
     kernel = np.ones(xfade, np.float32) / xfade
     weight = np.convolve(weight, kernel, mode="same")
-    return damaged * (1.0 - weight) + out * weight
+    return np.asarray(damaged * (1.0 - weight) + out * weight, np.float32)

@@ -283,26 +283,13 @@ class StreamRestorer:
             sub[s:e] = 0.0
         if self._unet is not None:
             self._unet.warm_window(sub, mask)
-        elif self.method == "ar":
-            # dispatch-only: compiling happens synchronously at dispatch,
-            # execution is async — so NOT fetching the result skips waiting
-            # out the throwaway restore of every monster-bucket recurrence
-            # (measured round 5: execution, not compile, dominated a
-            # cache-warm warmup at 56 s). This mirrors api.restore's AR
-            # branch exactly (same cfg merge, same key), and the CPU
-            # compile-count test pins that live feeds after this warmup
-            # compile NOTHING — any drift from the facade's program shapes
-            # fails that test.
-            import jax
-            import jax.numpy as jnp
-
-            from ..api import AR_DEFAULTS
-            from .ar import ARConfig, ar_restore_gaps
-
-            cfg = ARConfig(**{**AR_DEFAULTS, **self.cfg_kwargs})
-            ar_restore_gaps(jnp.asarray(sub), runs, cfg,
-                            key=jax.random.PRNGKey(self.seed))
         else:
+            # fetch the throwaway result (np.asarray inside _call_method):
+            # each program's FIRST execution pays an executable-load over
+            # the tunnel (~4 s/program measured round 5), and a dispatch-
+            # only warmup merely defers that queue to the first live
+            # restore, which then stalls for the whole backlog (measured:
+            # one 271 s feed stall with zero new compiles)
             self._call_method(sub, runs, mask)
         return 1
 
@@ -421,28 +408,90 @@ class StreamRestorer:
                 for k in range(s0 // self.tile,
                                -(-e1 // self.tile))]
 
+    def _group(self, spans: list[tuple[int, int]], tail_start: int,
+               final: bool):
+        """Partition spans into restore groups — the offline planner's rule
+        (windowed.plan_windows): consecutive spans join a group while the
+        group extent + 2*ctx still fits the BASE window, so one window
+        restore serves every span inside it. Real music carries 13-14
+        natural sub-threshold runs per 2 s (BASELINE.md), and restoring
+        each in its own window made window count — not per-window cost —
+        the streaming wall (round-5 measurement: 166 spans vs 25 grouped
+        windows on the 2-minute bench program).
+
+        Grouping must be CHUNK-INVARIANT, so a group only closes when its
+        membership can never change: (a) the last member can no longer
+        grow or merge (2*margin of loud samples follow it), and (b) no
+        future span can join — every future run starts at/after
+        ``tail_start`` and needs > min_len samples, so once
+        ``tail_start + min_len`` ends past the group's window reach,
+        membership is fixed. This waits ~window (not ~window/2) before
+        restoring a lone gap — the latency cost of the throughput win;
+        pick a smaller window_s when latency dominates.
+
+        Returns [(s0, e1, members, closed)] in stream order.
+        """
+        groups: list[list] = []
+        for s, e in spans:
+            if groups and e - groups[-1][0] + 2 * self.ctx <= self.window:
+                groups[-1][1] = e
+                groups[-1][2].append((s, e))
+            else:
+                groups.append([s, e, [(s, e)]])
+        out = []
+        for s0, e1, members in groups:
+            if final:
+                closed = True
+            else:
+                full = e1 - s0 + 2 * self.ctx > self.window
+                no_join = full or (tail_start + self._min_len + 2 * self.ctx
+                                   >= s0 + self.window)
+                closed = no_join and e1 + 2 * self.margin <= tail_start
+            out.append((s0, e1, members, closed))
+        return out
+
     def _advance(self, final: bool) -> np.ndarray:
         spans, tail_start = self._detect()
         blockers: list[tuple[int, int]] = []
 
-        for s0, e1 in spans:
-            for cs, ce in self._pieces(s0, e1):
-                if ce <= self._emit:
-                    continue                     # already emitted = final
-                if any(fs <= cs and ce <= fe for fs, fe in self._filled):
-                    continue                     # already restored
-                w0, size = self._geometry(cs, ce)
-                # a piece is final when its window is fully buffered AND its
-                # identity can never change: either 2*margin of loud samples
-                # follow it (no future merge can absorb it), or a full tile
-                # of known silence follows it inside an oversized span (the
-                # tile grid is absolute, so growth only appends pieces)
-                settled = (ce + 2 * self.margin <= tail_start
-                           or e1 - ce >= self.tile)
-                if final or (self._total >= w0 + size and settled):
-                    self._restore_piece(cs, ce, w0, size, spans)
-                else:
-                    blockers.append((cs, ce))
+        def covered(m):
+            return (m[1] <= self._emit
+                    or any(fs <= m[0] and m[1] <= fe
+                           for fs, fe in self._filled))
+
+        for s0, e1, members, closed in self._group(spans, tail_start, final):
+            if e1 - s0 + 2 * self.ctx > self.window:
+                # oversized single span: capped window doubling, then
+                # absolute-grid tiles (a span this large can never share a
+                # group — the join rule requires fitting the base window)
+                for cs, ce in self._pieces(s0, e1):
+                    if covered((cs, ce)):
+                        continue                 # emitted/restored = final
+                    w0, size = self._geometry(cs, ce)
+                    # a piece is final when its window is fully buffered AND
+                    # its identity can never change: either 2*margin of loud
+                    # samples follow it (no future merge can absorb it), or
+                    # a full tile of known silence follows it inside an
+                    # oversized span (the tile grid is absolute, so growth
+                    # only appends pieces)
+                    settled = (ce + 2 * self.margin <= tail_start
+                               or e1 - ce >= self.tile)
+                    if final or (self._total >= w0 + size and settled):
+                        self._restore_piece([(cs, ce)], w0, size, spans)
+                    else:
+                        blockers.append((cs, ce))
+                continue
+            live = [m for m in members if not covered(m)]
+            if not live:
+                continue
+            # window placed by the FULL group extent (not just the live
+            # members), so placement — and therefore the fill — does not
+            # depend on how much history was already emitted
+            w0, size = self._geometry(s0, e1)
+            if final or (closed and self._total >= w0 + size):
+                self._restore_piece(live, w0, size, spans)
+            else:
+                blockers.append((live[0][0], e1))
 
         if final:
             watermark = self._total
@@ -484,12 +533,12 @@ class StreamRestorer:
             self._spans = [sp for sp in self._spans if sp[1] > floor]
         return out
 
-    def _restore_piece(self, cs: int, ce: int, w0: int, size: int,
-                       spans: list[tuple[int, int]]) -> None:
-        """Restore ONE damage piece on its static window and composite the
-        fill into _out (the same extraction/masking/composite contract as
+    def _restore_piece(self, members: list[tuple[int, int]], w0: int,
+                       size: int, spans: list[tuple[int, int]]) -> None:
+        """Restore ONE window and composite the fill into _out over every
+        member span (the same extraction/masking/composite contract as
         restore_windowed: foreign damage masked, validity mirrored through
-        any reflect padding, margin crossfades at the piece boundary)."""
+        any reflect padding, margin crossfades at each member boundary)."""
         from .. import api
 
         hi = min(w0 + size, self._total)
@@ -515,12 +564,13 @@ class StreamRestorer:
 
         restored = self._call_method(sub, local, mask)
 
-        w = composite_weight(size, [(cs - w0, ce - w0)], self.margin)
+        w = composite_weight(size, [(s - w0, e - w0) for s, e in members],
+                             self.margin)
         m = hi - w0
         seg = slice(bl, bh)
         ov = self._out.view()      # writes through to the tape's storage
         ov[seg] = (1.0 - w[:m]) * ov[seg] + w[:m] * restored[:m]
-        self._filled.append((cs, ce))
+        self._filled.extend(members)
 
     def _call_method(self, sub: np.ndarray, local: list[tuple[int, int]],
                      mask: np.ndarray) -> np.ndarray:

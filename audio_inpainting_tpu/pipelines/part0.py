@@ -80,6 +80,23 @@ def run_part0(input_file: str | None, assets_dir: str = "demo_assets",
     gp_waveform_viz(t_axis, signal, gp_out, sigma, (gs, ge),
                     os.path.join(assets_dir, "part0", "gp_waveform_viz.png"))
 
+    # --- synthetic GP demo (reference demo_assets/part0/
+    # synthetic_gp_restoration.png: the main1_gp.py fallback run on its
+    # 200+450 Hz synthetic signal, shipped alongside the real-clip assets).
+    # The 800-sample fit is ~20x cheaper than the real segment's.
+    t0 = time.time()
+    syn_sr, syn_sig = synthetic_signal(duration, seed=seed)
+    syn_mask, (ss, se) = contiguous_gap_mask(len(syn_sig), gap_ratio)
+    syn_dmg = syn_sig.copy()
+    syn_dmg[ss:se] = 0.0
+    syn_out, syn_sigma = gp_restore(syn_sig, syn_mask, syn_sr,
+                                    gp_cfg or GPConfig(), key=seed)
+    gp_waveform_viz(np.arange(len(syn_sig), dtype=np.float32) / syn_sr,
+                    syn_sig, syn_out, syn_sigma, (ss, se),
+                    os.path.join(assets_dir, "part0",
+                                 "synthetic_gp_restoration.png"))
+    _metrics("gp_synthetic", syn_sig, syn_out, ss, se, t0, results)
+
     # --- Bidirectional AR, order 30, no texture (main2_AR.py) ---
     t0 = time.time()
     cfg = ARConfig(order=30, alpha=0.1, texture=False, context_len=max(gs, n - ge))

@@ -55,6 +55,10 @@ ASSET_REGISTRY: dict[str, dict[str, dict[str, str]]] = {
 # pairs. main3_AR_text.py:138 / main5_UNet_mask.py:220-222 counterparts.
 VIZ_ARTIFACTS: list[str] = [
     "part0/gp_waveform_viz.png",
+    # the reference ships this under demo_assets/part0: the main1_gp.py
+    # synthetic-fallback run (200+450 Hz sines, main1_gp.py:53-59)
+    # visualized; run_part0 emits it alongside the real-clip GP assets
+    "part0/synthetic_gp_restoration.png",
     "part0/ar_waveform_viz.png",
     "part0/ar_texture_waveform_viz.png",
     "part0/nmf_waveform_viz.png",

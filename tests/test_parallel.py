@@ -148,3 +148,60 @@ def test_packed_flagship_mesh_equivalence():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert abs(res["dp"][1] - res["dp"][0]) < 1e-6, res["dp"]
     assert abs(res["tp"][1] - res["tp"][0]) < 1e-6, res["tp"]
+
+
+def test_ar_windows_dp_matches_meshless():
+    """Mode 6 (parallel/engines.py): the windowed AR batch sharded over dp
+    must produce the meshless ar_restore_gaps_windows result exactly —
+    there is no cross-window math, and the texture key is folded per pass
+    identically on every shard."""
+    import numpy as np
+
+    from audio_inpainting_tpu.methods.ar import (ARConfig,
+                                                 ar_restore_gaps_windows)
+    from audio_inpainting_tpu.parallel import make_mesh
+    from audio_inpainting_tpu.parallel.engines import ar_restore_windows_dp
+
+    mesh = make_mesh(4)
+    acfg = ARConfig(order=8, context_len=64, texture=True, passes=2)
+    wlen = 1024
+    t = np.arange(wlen, dtype=np.float32)
+    n_w = 6                                    # non-divisor: exercises padding
+    wins = np.stack([(0.5 * np.sin(2 * np.pi * (3 + i) * t / wlen)
+                      ).astype(np.float32) for i in range(n_w)])
+    gaps = []
+    for i in range(n_w):
+        s = 300 + 29 * i
+        wins[i, s:s + 110] = 0.0
+        gaps.append([(s, s + 110)])
+    out_m = np.asarray(ar_restore_windows_dp(wins, gaps, acfg, mesh, key=3))
+    out_1 = np.asarray(ar_restore_gaps_windows(wins, gaps, acfg, key=3))
+    assert out_m.shape == wins.shape
+    np.testing.assert_allclose(out_m, out_1, atol=1e-5)
+    for i, ((s, e),) in enumerate(gaps):
+        assert np.abs(out_m[i, s:e]).max() > 1e-4
+
+
+def test_gp_restarts_dp_matches_meshless():
+    """Mode 7: GP restart fitting sharded over dp reproduces the
+    single-device posterior (same restarts, same winner; per-shard vmap
+    width reorders reductions — ulp-scale only)."""
+    import numpy as np
+
+    from audio_inpainting_tpu.methods.gp import GPConfig, gp_fit_predict
+    from audio_inpainting_tpu.parallel import make_mesh
+    from audio_inpainting_tpu.parallel.engines import gp_fit_predict_mesh
+
+    mesh = make_mesh(4)
+    cfg = GPConfig(n_restarts=5, opt_steps=4, fit_chunk=2, fit_subsample=1)
+    rng = np.random.RandomState(0)
+    x = np.linspace(0.0, 0.02, 160).astype(np.float32)
+    y = (np.sin(2 * np.pi * 400 * x) + 0.05 * rng.randn(160)).astype(
+        np.float32)
+    keep = np.ones(160, bool)
+    keep[60:90] = False
+    mu_m, sd_m, _ = gp_fit_predict_mesh(x[keep], y[keep], x[~keep], cfg,
+                                        mesh, key=1)
+    mu_1, sd_1, _ = gp_fit_predict(x[keep], y[keep], x[~keep], cfg, key=1)
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sd_m), np.asarray(sd_1), atol=5e-5)

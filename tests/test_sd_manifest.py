@@ -88,10 +88,12 @@ def test_manifest_counts_match_sd_v1(frozen):
     assert abs(n_v - 83_653_863) < 500_000, n_v
 
 
-# Anchor facts from the public SD-v1 diffusers serialization (modern
-# Linear-attention form; the legacy 1x1-conv/query-key-value forms are
-# absorbed by the loader's alias+squeeze paths, pinned in test_sd.py).
-# One entry per structural family, including every channel transition.
+# Anchor facts from the public SD-v1 diffusers serialization as the
+# riffusion-v1-era checkpoint ships it: transformer proj_in/proj_out as
+# 1x1 convs (diffusers <= 0.14), attention q/k/v as Linear. The VAE's
+# even-older query/key/value/proj_attn aliases are absorbed at load time
+# (loader.py), pinned in test_sd.py. One entry per structural family,
+# including every channel transition.
 UNET_ANCHORS = {
     "conv_in.weight": [320, 4, 3, 3],
     "conv_in.bias": [320],
@@ -120,7 +122,12 @@ UNET_ANCHORS = {
         [2560, 320],
     "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.2.weight":
         [320, 1280],
-    "down_blocks.0.attentions.0.proj_in.weight": [320, 320],
+    # proj_in/proj_out are 1x1 CONVS — the riffusion-v1-era (diffusers
+    # <= 0.14) serialization, which is what the actual target checkpoint
+    # ships; the flax Transformer2D mirrors it directly (unet2d.py)
+    "down_blocks.0.attentions.0.proj_in.weight": [320, 320, 1, 1],
+    "down_blocks.0.attentions.0.proj_out.weight": [320, 320, 1, 1],
+    "mid_block.attentions.0.proj_in.weight": [1280, 1280, 1, 1],
     "down_blocks.0.attentions.0.norm.weight": [320],
     # mid
     "mid_block.resnets.0.conv1.weight": [1280, 1280, 3, 3],

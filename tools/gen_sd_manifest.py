@@ -16,11 +16,12 @@ tests/golden/sd_v1_manifest.json. tests/test_sd_manifest.py then pins:
      in it — the offline evidence that the frozen manifest IS the real
      layout.
 
-Layout convention: the manifest is the MODERN diffusers serialization
-(Linear to_q/to_k/to_v, proj_in/proj_out as Linear). The riffusion-v1-era
-legacy forms (1x1-conv proj weights, VAE query/key/value/proj_attn names)
-are absorbed at load time by the loader's alias + squeeze paths
-(loader.py:45-47, 82-84), pinned separately by
+Layout convention: the manifest matches the serialization the actual
+riffusion-v1 checkpoint ships (diffusers <= 0.14 era): transformer
+proj_in/proj_out as 1x1 convs, attention to_q/to_k/to_v as Linear. The
+VAE's even-older query/key/value/proj_attn attention aliases are absorbed
+at load time by the loader's alias + squeeze paths (loader.py:45-47,
+82-84), pinned separately by
 tests/test_sd.py::test_loader_legacy_vae_attention_aliases.
 
 No weights are materialized — eval_shape only — so this runs in seconds.

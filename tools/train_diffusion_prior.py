@@ -94,6 +94,11 @@ def main() -> int:
     ap.add_argument("--out", default="checkpoints/diffusion_prior")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate the checkpoint in --out")
+    ap.add_argument("--sweep-fill", action="store_true",
+                    help="after training, sweep fill_energy_ratio on the "
+                         "bench clip and print the curve")
+    ap.add_argument("--skip-adapted", action="store_true",
+                    help="skip the on-clip-adapted baseline leg")
     args = ap.parse_args()
 
     from audio_inpainting_tpu.methods.diffusion import (DiffusionConfig,
@@ -122,6 +127,24 @@ def main() -> int:
               f"{args.out}", file=sys.stderr)
 
     corpus_res = eval_on_bench(params, cfg, "corpus-prior")
+
+    if args.sweep_fill:
+        # fill_energy_ratio sweep for THIS prior (VERDICT r4 #3): the fill
+        # power target is prior-dependent; re-measure it whenever the
+        # corpus changes and record the curve
+        import dataclasses
+
+        sweep = {}
+        for ratio in (0.08, 0.12, 0.15, 0.20, 0.30, 0.50):
+            r_cfg = dataclasses.replace(cfg, fill_energy_ratio=ratio)
+            sweep[str(ratio)] = eval_on_bench(params, r_cfg, f"fill={ratio}")
+        print(json.dumps({"fill_sweep": sweep}))
+
+    if args.skip_adapted:
+        print(json.dumps({"corpus_prior": corpus_res,
+                          "train_steps": args.steps,
+                          "checkpoint": args.out}))
+        return 0
 
     # on-clip-adapted baseline (the round-3 bench mode) for the gap report
     import jax.numpy as jnp
