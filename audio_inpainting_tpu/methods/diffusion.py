@@ -100,10 +100,14 @@ class DiffusionConfig:
     # is this fraction of the surrounding audio's. A hallucinated fill is
     # uncorrelated with the truth, so its local SNR is -10*log10(1 + a) at
     # energy ratio a — the raw DDPM fill lands ~10x hot (local -10.5 dB,
-    # round-1 VERDICT weak #2); 0.15 keeps it audible (~-8 dB relative)
-    # while measuring local -0.75 dB / LSD 11.8 on the bench clip
-    # (tools/diff_ab.py sweep). None disables calibration.
-    fill_energy_ratio: float | None = 0.15
+    # round-1 VERDICT weak #2). Round-5 sweep with the 48-clip corpus prior
+    # (tools/train_diffusion_prior.py --sweep-fill; pipeline-path re-check
+    # in NOTES_ROUND5.md): LSD is FLAT across 0.08-0.5 while waveform SNR
+    # rises monotonically as the ratio falls — i.e. low ratios game the
+    # local-SNR metric toward the zero fill without sounding better. 0.12
+    # is the compromise default (pipeline path: 3.34 global / -0.66 local /
+    # LSD 11.06 vs 0.15's -0.82 local). None disables calibration.
+    fill_energy_ratio: float | None = 0.12
 
 
 # flax 0.12 does not jit Module.init; eager init dispatches every forward op
@@ -295,7 +299,7 @@ def riffusion_restore_audio(damaged: np.ndarray, sr: int,
                             prompt: str | None = None,
                             steps: int = 50,
                             key: int = 0, composite: bool = True,
-                            fill_energy_ratio: float | None = 0.15,
+                            fill_energy_ratio: float | None = 0.12,
                             bundle: dict | None = None,
                             image_size: int = 512) -> np.ndarray:
     """Reference-exact Riffusion inpainting from a LOCAL checkpoint.

@@ -92,9 +92,12 @@ GATES: list[tuple[str, str, str, float, str]] = [
     ("part2", "gan", "snr_db", 2.04, "min"),    # ref artifact 2.04 (we beat it)
     ("part2", "gan", "local_snr_db", -0.07, "min"),  # ref artifact -0.07
     ("part2", "gan", "lsd_db", 42.5, "max"),    # ref artifact 40.79; seed noise
+    # round-5 corpus prior (48 clips x 4 styles, 24k steps) + fill 0.12:
+    # measured 3.34 / -0.664 / 11.06 on the pipeline path — gates
+    # tightened from (3.0, -1.0, 13.0) to the new band (VERDICT r4 #3)
     ("part2", "diffusion", "snr_db", 3.0, "min"),
-    ("part2", "diffusion", "local_snr_db", -1.0, "min"),
-    ("part2", "diffusion", "lsd_db", 13.0, "max"),  # ours 11.8
+    ("part2", "diffusion", "local_snr_db", -0.8, "min"),
+    ("part2", "diffusion", "lsd_db", 11.5, "max"),
     # engine-regression gates (run_engines below): the windowed engine's
     # steady wall on the fixed 60 s program and the streaming engine's
     # warm-pass RTF; both also hard-fail on passthrough/invariance breaks.
@@ -102,6 +105,11 @@ GATES: list[tuple[str, str, str, float, str]] = [
     ("engines", "windowed_ar", "passthrough_exact", 0.5, "min"),  # bool
     ("engines", "streaming_ar", "rtf_warm", 3.0, "min"),
     ("engines", "streaming_ar", "chunk_invariant", 0.5, "min"),   # bool
+    # round 5: persistent per-stream U-Net must hold realtime with margin
+    # (measured 14x on the 2-min program; 3x is the floor the verdict set)
+    ("engines", "streaming_unet", "rtf_warm", 3.0, "min"),
+    ("engines", "streaming_unet", "chunk_invariant", 0.5, "min"),  # bool
+    ("engines", "streaming_unet", "filled", 0.5, "min"),           # bool
 ]
 
 
@@ -199,7 +207,38 @@ def run_engines() -> dict:
         "rtf_warm": round((len(damaged) / sr) / wall_b, 1),
         "chunk_invariant": float(np.array_equal(out_a, out_b)),
         "filled": float(np.abs(out_b[gs:ge]).max() > 1e-3)}
-    res = {"windowed_ar": windowed, "streaming_ar": streaming}
+
+    # Streaming U-Net leg (round 5): the persistent per-stream net
+    # (methods/unet_stream.py) at the reference's 400-epoch cold budget,
+    # adapt_epochs=100 — gated at >= 3x realtime warm (round-4 published
+    # 0.8x; round-5 measured 14x on the 2-minute program). 30 s program,
+    # three 300 ms gaps.
+    audio_u = np.tile(clip[:10 * sr], 3).astype(np.float32)
+    u_spans = [(8 * sr, 8 * sr + 13230), (18 * sr, 18 * sr + 13230),
+               (27 * sr, 27 * sr + 13230)]
+    dmg_u = audio_u.copy()
+    for s, e in u_spans:
+        dmg_u[s:e] = 0.0
+
+    def stream_pass_unet(chunk):
+        rest = StreamRestorer(sr, method="unet")   # 2 s default window
+        rest.warmup(max_gap_s=0.5)
+        outs = []
+        t0 = time.time()
+        for i in range(0, len(dmg_u), chunk):
+            outs.append(rest.feed(dmg_u[i:i + chunk]))
+        outs.append(rest.flush())
+        return np.concatenate(outs), time.time() - t0
+
+    ou_a, _ = stream_pass_unet(sr // 10)
+    ou_b, wall_u = stream_pass_unet(sr)
+    streaming_unet = {
+        "rtf_warm": round((len(dmg_u) / sr) / wall_u, 1),
+        "chunk_invariant": float(np.array_equal(ou_a, ou_b)),
+        "filled": float(all(np.abs(ou_b[s:e]).max() > 1e-3
+                            for s, e in u_spans))}
+    res = {"windowed_ar": windowed, "streaming_ar": streaming,
+           "streaming_unet": streaming_unet}
     print(f"[engines] {json.dumps(res)}", file=sys.stderr)
     return res
 

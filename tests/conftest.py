@@ -83,3 +83,80 @@ def short_clip(ref_clip):
     n = int(0.05 * sr)
     start = len(x) // 2
     return sr, x[start : start + n]
+
+
+# ---------------------------------------------------------------- tiering --
+# The full suite costs ~87 min on this 1-core box (round-5 measured).
+# Tests >= ~30 s (measured via --durations; dominated by GAN/U-Net training
+# loops and 8-device SPMD compiles) carry the `slow` marker, leaving a
+# <20-minute default development subset:
+#
+#     pytest -m "not slow" tests/      # fast subset (~15-19 min)
+#     pytest tests/                    # everything (CI / end-of-round)
+#
+# Names are frozen from the measured run rather than marked inline so the
+# tier list lives in one place; parametrized variants inherit the mark.
+_SLOW_TESTS = frozenset({
+    "test_graft_entry_contract",
+    "test_restore_unet_blind_fills_with_content",
+    "test_batch_restore_gan_clips_dp_sharded",
+    "test_packed_flagship_mesh_equivalence",
+    "test_gan_batch_retry_retrains_bad_clips",
+    "test_restore_gan_with_original",
+    "test_windowed_unet_batched_equals_sequential",
+    "test_gan_batch_single_clip_matches_gan_train_restore",
+    "test_gan_ema_readout",
+    "test_unet_batch_single_clip_matches_unet_train_restore",
+    "test_serve_gan_skips_clip_missing_original",
+    "test_gan_batch_single_clip_matches_production_readout",
+    "test_serve_gan_batch_requires_and_uses_originals",
+    "test_gan_chunk_flat_matches_per_leaf",
+    "test_restore_audio_uses_checkpoint",
+    "test_gan_trains_and_composites",
+    "test_batch_restore_8_clips_dp_sharded",
+    "test_stream_warmup_unet_then_feed_compiles_nothing_new",
+    "test_gan_retry_l1_retrains_on_bad_draw",
+    "test_unet_gap_extra",
+    "test_gan_vmap_d_equivalence",
+    "test_unet_inpaints_masked_region",
+    "test_batch_restore_respects_epoch_count",
+    "test_unet_chunk_flat_matches_per_leaf",
+    "test_serve_unet_batch",
+    "test_restore_unet_all_damaged_is_finite",
+    "test_restore_unet",
+    "test_gan_batch_valid_ones_matches_default",
+    "test_windowed_unet_batched_on_8dev_mesh",
+    "test_restore_audio_sample_mask_overrides_detection",
+    "test_persistent_unet_chunk_invariance_and_carry",
+    "test_pretrain_and_reuse",
+    "test_gan_empty_patchgan_map_contract",
+    "test_diffusion_inpaint_smoke_tiny",
+    "test_serve_cli",
+    "test_windowed_unet_batched_mixed_sizes",
+    "test_persistent_unet_opt_out_matches_facade",
+    "test_sd_tiny_forward_golden",
+    "test_unet_tiny_shapes",
+    "test_unet_batch_internal_divisor_padding",
+    "test_unet_batch_composite_mask_differs_from_train_mask",
+    "test_diffusion_unet_still_trains",
+    "test_gan_ema_gap_scope_splits_fill_by_column",
+    "test_shared_unet_dp_training_step_runs_and_learns",
+    "test_unet_full_loss_variant_runs",
+    "test_gan_retry_holeless_mask_is_a_noop",
+    "test_spatial_training_runs_on_dp_x_tp_mesh",
+    "test_restore_unet_explicit_gaps_columns",
+    "test_persistent_unet_never_trains_on_hole_content",
+    "test_riffusion_restore_audio_end_to_end_tiny",
+})
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: training-loop / SPMD-compile heavy (>= ~30 s on "
+        "the 1-core reference box); deselect with -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -33,11 +33,14 @@ GOOD = {
         "ar": {"snr_db": 1.64},
         "nmf": {"snr_db": 3.83, "local_snr_db": -0.0095, "lsd_db": 10.9},
         "gan": {"snr_db": 2.71, "local_snr_db": -0.048, "lsd_db": 41.2},
-        "diffusion": {"snr_db": 3.22, "local_snr_db": -0.81, "lsd_db": 11.8},
+        # round-5 corpus prior + fill 0.12 measured band
+        "diffusion": {"snr_db": 3.34, "local_snr_db": -0.66, "lsd_db": 11.06},
     },
     "engines": {
         "windowed_ar": {"steady_wall_s": 0.19, "passthrough_exact": 1.0},
         "streaming_ar": {"rtf_warm": 20.0, "chunk_invariant": 1.0},
+        "streaming_unet": {"rtf_warm": 14.0, "chunk_invariant": 1.0,
+                           "filled": 1.0},
     },
 }
 

@@ -171,8 +171,14 @@ def main() -> int:
         10 * np.log10(np.sum(clean[s:e] ** 2)
                       / (np.sum((clean[s:e] - out[s:e]) ** 2) + 1e-10))
         for s, e in spans]
+    # spectral fill quality: LSD over each gap (waveform SNR of an
+    # uncorrelated-but-plausible fill sits near 0 dB by construction, so
+    # LSD is the discriminating number for neural/texture fills)
+    from audio_inpainting_tpu.metrics import lsd_db
+    lsd_gaps = [float(lsd_db(clean[s:e], out[s:e])) for s, e in spans]
     print(f"[check] passthrough_exact={exact} all_gaps_filled={filled} "
-          f"gap_snr mean={np.mean(snr_gaps):.2f} dB", file=sys.stderr)
+          f"gap_snr mean={np.mean(snr_gaps):.2f} dB "
+          f"gap_lsd mean={np.mean(lsd_gaps):.2f} dB", file=sys.stderr)
 
     print(json.dumps({
         "method": args.method, "minutes": args.minutes,
@@ -185,7 +191,8 @@ def main() -> int:
         "max_feed_stall_cold_ms": round(feed_cold * 1000, 1),
         "max_feed_stall_warm_ms": round(feed_warm * 1000, 1),
         "passthrough_exact": exact, "all_gaps_filled": bool(filled),
-        "gap_snr_mean_db": round(float(np.mean(snr_gaps)), 2)}))
+        "gap_snr_mean_db": round(float(np.mean(snr_gaps)), 2),
+        "gap_lsd_mean_db": round(float(np.mean(lsd_gaps)), 2)}))
     return 0 if exact is not False and filled else 1
 
 
